@@ -1,0 +1,107 @@
+"""Rotation-representation transforms (6D <-> matrix, axis-angle -> matrix).
+
+Pure jnp, batch-shape agnostic (all functions accept arbitrary leading dims),
+fp32 math.  Conventions match the reference exactly:
+
+- The 6D representation is the **first two columns** of the rotation matrix,
+  flattened ``[col0(3), col1(3)]`` (``seq_two_hier_sa_vae.py:666-667, 773-779``).
+- 6D -> matrix is the Zhou et al. Gram-Schmidt with the reference's column
+  stacking and cross-product ordering (``my_tools.py:19-39``): x = norm(a),
+  z = norm(x × b), y = z × x, columns (x, y, z).
+- axis-angle -> matrix replaces ``torchgeometry.angle_axis_to_rotation_matrix``
+  (used at ``seq_two_hier_sa_vae.py:644-654``) with a Rodrigues formula.
+- A VIBE-convention converter is kept for interop
+  (``trajectory_pred_model.py:534-537``).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+_EPS = 1e-6
+
+
+def normalize(v: jnp.ndarray, eps: float = _EPS) -> jnp.ndarray:
+    """L2-normalise along the last axis; mirrors ``F.normalize(dim=-1, eps)``."""
+    norm = jnp.linalg.norm(v, axis=-1, keepdims=True)
+    return v / jnp.maximum(norm, eps)
+
+
+def rot6d_to_rotmat(poses: jnp.ndarray) -> jnp.ndarray:
+    """(..., 6) -> (..., 3, 3); reference ``rotation_matrix_from_ortho6d``."""
+    x_raw = poses[..., 0:3]
+    y_raw = poses[..., 3:6]
+    x = normalize(x_raw)
+    z = normalize(jnp.cross(x, y_raw))
+    y = jnp.cross(z, x)
+    return jnp.stack((x, y, z), axis=-1)  # columns
+
+
+def rotmat_to_rot6d(rotmat: jnp.ndarray) -> jnp.ndarray:
+    """(..., 3, 3) -> (..., 6): first two columns flattened."""
+    return jnp.concatenate((rotmat[..., :, 0], rotmat[..., :, 1]), axis=-1)
+
+
+def rot6d_ours_to_vibe(poses: jnp.ndarray) -> jnp.ndarray:
+    """Reorder our 6D (two stacked columns) into VIBE layout (row-interleaved).
+
+    VIBE/SPIN treat the 6 numbers as a (3, 2) matrix read row-major; ours is a
+    (2, 3) stack of columns, so interop is a transpose of that 2x3 block
+    (``trajectory_pred_model.py:534-537``).
+    """
+    two_cols = poses.reshape(poses.shape[:-1] + (2, 3))
+    return jnp.swapaxes(two_cols, -1, -2).reshape(poses.shape)
+
+
+def rot6d_vibe_to_ours(poses: jnp.ndarray) -> jnp.ndarray:
+    """Inverse of :func:`rot6d_ours_to_vibe` (same transpose)."""
+    three_two = poses.reshape(poses.shape[:-1] + (3, 2))
+    return jnp.swapaxes(three_two, -1, -2).reshape(poses.shape)
+
+
+def aa_to_rotmat(aa: jnp.ndarray, eps: float = 1e-8) -> jnp.ndarray:
+    """Axis-angle (..., 3) -> rotation matrix (..., 3, 3) via Rodrigues.
+
+    Taylor-safe around the identity (angle -> 0).
+    """
+    angle = jnp.linalg.norm(aa, axis=-1, keepdims=True)  # (..., 1)
+    safe_angle = jnp.maximum(angle, eps)
+    axis = aa / safe_angle
+    x, y, z = axis[..., 0], axis[..., 1], axis[..., 2]
+    zero = jnp.zeros_like(x)
+    # skew-symmetric cross-product matrix K
+    K = jnp.stack(
+        [
+            jnp.stack([zero, -z, y], axis=-1),
+            jnp.stack([z, zero, -x], axis=-1),
+            jnp.stack([-y, x, zero], axis=-1),
+        ],
+        axis=-2,
+    )  # (..., 3, 3)
+    s = jnp.sin(angle)[..., None]
+    c = jnp.cos(angle)[..., None]
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=aa.dtype), K.shape)
+    rot = eye + s * K + (1.0 - c) * (K @ K)
+    # angle ~ 0: R = I + K_raw (first order) keeps gradients finite
+    small = (angle[..., None] < 1e-4)
+    K_raw = K * safe_angle[..., None]
+    return jnp.where(small, eye + K_raw, rot)
+
+
+def rotmat_to_aa(rotmat: jnp.ndarray, eps: float = 1e-7) -> jnp.ndarray:
+    """Rotation matrix (..., 3, 3) -> axis-angle (..., 3) (log map)."""
+    trace = rotmat[..., 0, 0] + rotmat[..., 1, 1] + rotmat[..., 2, 2]
+    cos = jnp.clip((trace - 1.0) / 2.0, -1.0 + eps, 1.0 - eps)
+    angle = jnp.arccos(cos)  # (...,)
+    # off-diagonal differences ~ 2 sin(angle) * axis
+    vec = jnp.stack(
+        [
+            rotmat[..., 2, 1] - rotmat[..., 1, 2],
+            rotmat[..., 0, 2] - rotmat[..., 2, 0],
+            rotmat[..., 1, 0] - rotmat[..., 0, 1],
+        ],
+        axis=-1,
+    )
+    sin = jnp.sin(angle)[..., None]
+    axis = vec / jnp.maximum(2.0 * sin, eps)
+    return axis * angle[..., None]

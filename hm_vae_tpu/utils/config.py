@@ -1,0 +1,190 @@
+"""Typed configuration schema with YAML compatibility.
+
+The reference passes a raw ``yaml.load`` dict around and crashes at use-sites on
+missing keys (``utils_common.py:123-125``; many YAML keys are never read — see
+SURVEY.md §5.6).  Here every key that is actually consumed becomes a typed field
+with a default; unknown YAML keys are accepted and ignored (with a warning) so
+the reference's config files load unchanged.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+from typing import Any, Dict, Tuple
+
+import yaml
+
+log = logging.getLogger(__name__)
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    """Architecture hyper-parameters (consumed by models/structure.py).
+
+    Field meanings mirror the YAML keys of the reference configs
+    (``configs/len64_no_aug_hm_vae.yaml`` etc.).
+    """
+
+    model_name: str = "TwoHierSAVAEModel"
+    n_joints: int = 24
+    input_dim: int = 6
+    output_dim: int = 6
+    latent_d: int = 24
+    shallow_latent_d: int = 12
+    num_layers: int = 4
+    skeleton_dist: int = 2
+    skeleton_pool: str = "mean"
+    extra_conv: int = 0
+    padding_mode: str = "reflection"
+    kernel_size: int = 15
+    upsampling: str = "linear"
+    train_seq_len: int = 64
+    max_input_timesteps: int = 300
+    # trajectory model only
+    trajectory_input_joint_pos: bool = True
+    use_accumulation_root_v: bool = True
+
+
+@dataclasses.dataclass(frozen=True)
+class LossConfig:
+    rec_6d_w: float = 1.0
+    rec_rot_w: float = 1.0
+    rec_pose_w: float = 10.0
+    rec_joint_pos_w: float = 0.0
+    rec_root_v_w: float = 0.0
+    rec_root_trans_w: float = 0.0
+    rec_linear_v_w: float = 0.0
+    rec_angular_v_w: float = 0.0
+    kl_w: float = 0.003
+    shallow_kl_w: float = 0.003
+    # step at which the shallow KL/latent joins training (two-stage curriculum,
+    # seq_two_hier_sa_vae.py:327-333, 380-385)
+    iteration_interval: int = 50000
+
+
+@dataclasses.dataclass(frozen=True)
+class OptimConfig:
+    lr: float = 1e-4
+    weight_decay: float = 1e-4
+    init: str = "kaiming"
+    lr_policy: str = "step"          # constant | step | mstep
+    step_size: Any = 100000          # int, or list for mstep
+    gamma: float = 0.3
+    max_iter: int = 250000
+    batch_size: int = 8
+
+
+@dataclasses.dataclass(frozen=True)
+class LatentOptConfig:
+    """Test-time latent optimization (completion / interpolation / generation)."""
+
+    opt_lr: float = 0.1
+    opt_it: int = 150
+    reg_w: float = 0.0
+    reg_w_decoder: float = 1000.0
+    reg_w_trajectory: float = 0.0
+    opt_lr_policy: str = "step"
+    opt_step_size: int = 50
+    opt_gamma: float = 0.1
+    interpolation_window: int = 5
+    optimize_decoder: bool = True
+    optimize_trajectory: bool = False
+    replace_frame_with_gt: bool = True
+    replace_part_with_gt: bool = True
+    missing_upper_completion: bool = False
+    missing_lower_completion: bool = True
+    # decoder fine-tuning kicks in after this many z-only steps
+    # (prev_epochs in seq_two_hier_sa_vae.py:1206/1403/1731)
+    prev_epochs: int = 50
+
+
+@dataclasses.dataclass(frozen=True)
+class DataConfig:
+    data_root: str = "data/processed"
+    train_json: str = "train_all_amass_motion_data.json"
+    val_json: str = "val_all_amass_motion_data.json"
+    test_json: str = "test_all_amass_motion_data.json"
+    mean_std_path: str = ""          # empty -> vendored asset
+    fps_aug_flag: bool = False
+    random_root_rot_flag: bool = False
+    use_30fps_data: bool = True
+    num_prefetch: int = 2
+    synthetic: bool = False          # use the synthetic generator (no AMASS on disk)
+    synthetic_num_seqs: int = 64
+    missing_joint_prob: float = 0.0
+
+
+@dataclasses.dataclass(frozen=True)
+class RunConfig:
+    """Logging / checkpoint cadence (trainer loop)."""
+
+    log_iter: int = 20
+    validation_iter: int = 500
+    image_save_iter: int = 20000
+    snapshot_save_iter: int = 20000
+    seed: int = 0
+
+
+@dataclasses.dataclass(frozen=True)
+class Config:
+    model: ModelConfig = ModelConfig()
+    loss: LossConfig = LossConfig()
+    optim: OptimConfig = OptimConfig()
+    latent_opt: LatentOptConfig = LatentOptConfig()
+    data: DataConfig = DataConfig()
+    run: RunConfig = RunConfig()
+
+
+def _fill(cls, flat: Dict[str, Any]):
+    names = {f.name for f in dataclasses.fields(cls)}
+    kwargs = {}
+    for k, v in flat.items():
+        if k in names:
+            if isinstance(v, list):
+                v = tuple(v)
+            kwargs[k] = v
+    return cls(**kwargs)
+
+
+def from_flat_dict(flat: Dict[str, Any]) -> Config:
+    """Build a :class:`Config` from a flat reference-style YAML dict."""
+    known = set()
+    sections = {}
+    for name, cls in (
+        ("model", ModelConfig),
+        ("loss", LossConfig),
+        ("optim", OptimConfig),
+        ("latent_opt", LatentOptConfig),
+        ("data", DataConfig),
+        ("run", RunConfig),
+    ):
+        sections[name] = _fill(cls, flat)
+        known |= {f.name for f in dataclasses.fields(cls)}
+    unknown = sorted(set(flat) - known)
+    if unknown:
+        log.info("ignoring unused config keys: %s", unknown)
+    return Config(**sections)
+
+
+def load_config(path: str) -> Config:
+    """Load a YAML config.
+
+    Accepts both the reference's flat layout and a nested
+    ``{model: {...}, loss: {...}, ...}`` layout.
+    """
+    with open(path, "r") as f:
+        raw = yaml.safe_load(f) or {}
+    section_names = {"model", "loss", "optim", "latent_opt", "data", "run"}
+    if section_names & set(raw.keys()):
+        nested = {}
+        flat_extra = {k: v for k, v in raw.items() if k not in section_names}
+        for name, cls in (
+            ("model", ModelConfig), ("loss", LossConfig), ("optim", OptimConfig),
+            ("latent_opt", LatentOptConfig), ("data", DataConfig), ("run", RunConfig),
+        ):
+            merged = dict(flat_extra)
+            merged.update(raw.get(name, {}) or {})
+            nested[name] = _fill(cls, merged)
+        return Config(**nested)
+    return from_flat_dict(raw)

@@ -1,0 +1,19 @@
+"""Test configuration: force an 8-device virtual CPU backend.
+
+Multi-chip hardware is not needed for correctness tests — the standard JAX
+trick of faking N host devices exercises every sharding/collective path.
+Must run before jax initialises, hence the env mutation at import time.
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_enable_x64", False)
