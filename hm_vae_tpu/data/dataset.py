@@ -1,0 +1,261 @@
+"""Host-side data pipeline: window sampling, normalisation, augmentation.
+
+Functional re-design of ``MotionSeqData`` / ``EvalMotionSeqData``
+(``utils_motion_vae.py:83-346``):
+
+- sequences are memory-resident numpy arrays (the whole AMASS 579-dim set is
+  ~4 GB; subsets and synthetic data far less), so "loading" is slicing;
+- the per-item Python augmentations become *vectorised per-batch* numpy ops
+  (one RNG call per batch instead of per item);
+- batches are dicts keyed by :data:`hm_vae_tpu.data.layout.BATCH_FIELDS`, the
+  7-tuple contract of the reference;
+- an optional background thread overlaps host batch assembly with device
+  compute (double-buffered prefetch) — the TPU never waits on numpy.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import queue
+import threading
+from typing import Dict, Iterator, List, Optional
+
+import numpy as np
+
+from ..utils.config import Config
+from . import layout
+
+FPS_AUG_STRIDES = (1, 2, 3, 4, 5, 6, 8, 10, 12)  # utils_motion_vae.py:70
+
+
+def random_rotation_matrices(rng: np.random.Generator, n: int) -> np.ndarray:
+    """Uniform random rotations, Graphics-Gems method, vectorised.
+
+    Same distribution as ``rand_rotation_matrix`` (``utils_motion_vae.py:17-57``)
+    with ``deflection=1``.
+    """
+    theta = rng.uniform(0, 2 * np.pi, n)
+    phi = rng.uniform(0, 2 * np.pi, n)
+    z = rng.uniform(0, 2, n)
+    r = np.sqrt(z)
+    V = np.stack([np.sin(phi) * r, np.cos(phi) * r, np.sqrt(2.0 - z)], axis=1)
+    st, ct = np.sin(theta), np.cos(theta)
+    Rz = np.zeros((n, 3, 3))
+    Rz[:, 0, 0], Rz[:, 0, 1] = ct, st
+    Rz[:, 1, 0], Rz[:, 1, 1] = -st, ct
+    Rz[:, 2, 2] = 1.0
+    H = np.einsum("ni,nj->nij", V, V) - np.eye(3)
+    return (H @ Rz).astype(np.float32)
+
+
+class MotionDataset:
+    """In-memory sequence store + batch sampler."""
+
+    def __init__(
+        self,
+        seq_dir: str,
+        index_json: str,
+        mean_std: np.ndarray,
+        train_seq_len: int,
+        fps_aug: bool = False,
+        random_root_rot: bool = False,
+        seed: int = 0,
+    ):
+        with open(index_json) as f:
+            ids = json.load(f)
+        self.names = [ids[k] for k in sorted(ids, key=int)]
+        self.seqs: List[np.ndarray] = [
+            np.load(os.path.join(seq_dir, n)).astype(np.float32)
+            for n in self.names
+        ]
+        self.mean = mean_std[0]
+        self.std = mean_std[1]
+        self.train_seq_len = train_seq_len
+        self.fps_aug = fps_aug
+        self.random_root_rot = random_root_rot
+        self.rng = np.random.default_rng(seed)
+
+    def __len__(self) -> int:
+        return len(self.seqs)
+
+    # ------------------------------------------------------------------
+    def _sample_window(self, idx: int) -> np.ndarray:
+        """(T_win, 579) raw window with fps augmentation and retries
+        (utils_motion_vae.py:65-81, 136-141)."""
+        L = self.train_seq_len
+        for _ in range(20):
+            seq = self.seqs[idx]
+            if self.fps_aug:
+                for _ in range(10):
+                    stride = int(self.rng.choice(FPS_AUG_STRIDES))
+                    cand = seq[::stride]
+                    if cand.shape[0] >= L:
+                        seq = cand
+                        break
+            if seq.shape[0] >= L:
+                t0 = int(self.rng.integers(0, seq.shape[0] - L + 1))
+                return seq[t0 : t0 + L]
+            idx = int(self.rng.integers(0, len(self.seqs)))
+        raise ValueError("no sequence long enough for train_seq_len")
+
+    def sample_batch(self, batch_size: int) -> Dict[str, np.ndarray]:
+        idxs = self.rng.integers(0, len(self.seqs), batch_size)
+        raw = np.stack([self._sample_window(int(i)) for i in idxs])  # (B,T,579)
+        return self._finalize(raw)
+
+    def _finalize(self, raw: np.ndarray) -> Dict[str, np.ndarray]:
+        B, T, _ = raw.shape
+        norm = (raw - self.mean) / self.std
+        batch = {
+            "rot_6d": raw[..., layout.ROT6D].reshape(B, T, 24, 6),
+            "rot_mat": raw[..., layout.ROTMAT].reshape(B, T, 24, 3, 3),
+            "rot_pos": raw[..., layout.COORD].reshape(B, T, 24, 3),
+            "joint_pos": norm[..., layout.COORD].reshape(B, T, 24, 3),
+            "linear_v": norm[..., layout.LINEAR_V].reshape(B, T, 24, 3),
+            "angular_v": norm[..., layout.ANGULAR_V].reshape(B, T, 24, 3),
+            "root_v": norm[..., layout.ROOT_V],
+        }
+        if self.random_root_rot:
+            self._augment_root_rot(batch, raw)
+        return batch
+
+    def _augment_root_rot(self, batch: Dict[str, np.ndarray], raw: np.ndarray):
+        """Random global-orientation augmentation, vectorised over the batch.
+
+        Premultiplies a per-sample uniform rotation onto the root joint's
+        rotation and the root velocity, re-standardises root_v, and rebuilds
+        the 6D rep from the rotated matrices (utils_motion_vae.py:161-185).
+        """
+        B, T = raw.shape[:2]
+        R = random_rotation_matrices(self.rng, B)  # (B,3,3)
+        rot_mat = batch["rot_mat"]
+        new_root = np.einsum("bij,btjk->btik", R, rot_mat[:, :, 0])
+        rot_mat = rot_mat.copy()
+        rot_mat[:, :, 0] = new_root
+        batch["rot_mat"] = rot_mat
+        # 6D regenerated from (possibly rotated) matrices
+        batch["rot_6d"] = np.concatenate(
+            (rot_mat[..., :, 0], rot_mat[..., :, 1]), axis=-1
+        )
+        raw_root_v = raw[..., layout.ROOT_V]  # unnormalised
+        aug_root_v = np.einsum("bij,btj->bti", R, raw_root_v)
+        mean = self.mean[layout.ROOT_V]
+        std = self.std[layout.ROOT_V]
+        batch["root_v"] = (aug_root_v - mean) / std
+
+    # ------------------------------------------------------------------
+    def iter_batches(self, batch_size: int) -> Iterator[Dict[str, np.ndarray]]:
+        while True:
+            yield self.sample_batch(batch_size)
+
+
+class EvalMotionDataset:
+    """Full-sequence eval loader with per-joint visibility masks.
+
+    Mirrors ``EvalMotionSeqData`` (``utils_motion_vae.py:234-318``): returns
+    unnormalised rot6d/rotmat/pos plus masked copies and the (T, 24) mask.
+    """
+
+    UPPER_JOINTS = (0, 3, 6, 9, 12, 13, 14, 15, 16, 17, 18, 19, 20, 21, 22, 23)
+    LOWER_JOINTS = (1, 2, 4, 5, 7, 8, 10, 11)
+
+    def __init__(self, seq_dir: str, index_json: str,
+                 missing: str = "none", missing_joint_prob: float = 0.0,
+                 seed: int = 0):
+        with open(index_json) as f:
+            ids = json.load(f)
+        self.names = [ids[k] for k in sorted(ids, key=int)]
+        self.seq_dir = seq_dir
+        self.missing = missing
+        self.missing_joint_prob = missing_joint_prob
+        self.rng = np.random.default_rng(seed)
+
+    def __len__(self):
+        return len(self.names)
+
+    def __getitem__(self, i: int) -> Dict[str, np.ndarray]:
+        seq = np.load(os.path.join(self.seq_dir, self.names[i])).astype(np.float32)
+        T = seq.shape[0]
+        rot6d = seq[:, layout.ROT6D].reshape(T, 24, 6)
+        rotmat = seq[:, layout.ROTMAT].reshape(T, 24, 3, 3)
+        pos = seq[:, layout.COORD].reshape(T, 24, 3)
+        root_v = seq[:, layout.ROOT_V]
+
+        mask = np.ones((T, 24), dtype=np.float32)
+        if self.missing == "upper":
+            mask[:, list(self.UPPER_JOINTS)] = 0.0
+        elif self.missing == "lower":
+            mask[:, list(self.LOWER_JOINTS)] = 0.0
+        elif self.missing == "random":
+            mask = (self.rng.random((T, 24)) >= self.missing_joint_prob
+                    ).astype(np.float32)
+
+        m6 = rot6d * mask[..., None]
+        mm = rotmat * mask[..., None, None]
+        mp = pos * mask[..., None]
+        return {
+            "name": self.names[i], "rot_6d": rot6d, "rot_mat": rotmat,
+            "rot_pos": pos, "masked_6d": m6, "masked_rot": mm,
+            "masked_pos": mp, "mask": mask, "root_v": root_v,
+        }
+
+
+class PrefetchIterator:
+    """Background-thread prefetch of host batches (bounded queue)."""
+
+    def __init__(self, it: Iterator, depth: int = 2):
+        self.q: "queue.Queue" = queue.Queue(maxsize=depth)
+        self._stop = threading.Event()
+
+        def worker():
+            for item in it:
+                if self._stop.is_set():
+                    return
+                self.q.put(item)
+
+        self.t = threading.Thread(target=worker, daemon=True)
+        self.t.start()
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        return self.q.get()
+
+    def close(self):
+        self._stop.set()
+
+
+def make_loaders(cfg: Config, data_dir: Optional[str] = None):
+    """(train, val, test) MotionDatasets from a processed/synthetic data dir.
+
+    If ``cfg.data.synthetic`` (or the directory is missing) a synthetic dataset
+    is generated on the fly — no hard-coded machine paths (the reference's
+    biggest portability bug, ``utils_motion_vae.py:194-206``).
+    """
+    from . import synthetic
+
+    d = data_dir or cfg.data.data_root
+    if cfg.data.synthetic or not os.path.exists(os.path.join(d, "train.json")):
+        os.makedirs(d, exist_ok=True)
+        if not os.path.exists(os.path.join(d, "train.json")):
+            synthetic.generate_dataset(
+                d, num_seqs=cfg.data.synthetic_num_seqs, seed=cfg.run.seed
+            )
+    seq_dir = os.path.join(d, "seqs")
+    ms_path = os.path.join(d, "mean_std.npy")
+    mean_std = (
+        np.load(ms_path).astype(np.float32)
+        if os.path.exists(ms_path) else layout.load_mean_std(cfg.data.mean_std_path)
+    )
+    mean_std[1, mean_std[1] == 0] = 1.0
+
+    def mk(split, seed):
+        return MotionDataset(
+            seq_dir, os.path.join(d, f"{split}.json"), mean_std,
+            cfg.model.train_seq_len, fps_aug=cfg.data.fps_aug_flag,
+            random_root_rot=cfg.data.random_root_rot_flag, seed=seed,
+        )
+
+    return mk("train", cfg.run.seed), mk("val", cfg.run.seed + 1), mk("test", cfg.run.seed + 2)

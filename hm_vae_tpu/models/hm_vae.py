@@ -1,0 +1,234 @@
+"""Two-level hierarchical skeleton-aware sequence VAE (flax).
+
+TPU-first re-design of the reference ``TwoHierSAVAEModel``
+(``seq_two_hier_sa_vae.py:53-474``):
+
+- all topology/pooling/mask data are compile-time constants
+  (:mod:`hm_vae_tpu.models.structure`);
+- the model is a *pure* flax module — no losses, no ``.cuda()``, no
+  ``backward()`` inside forward (the reference's DataParallel idiom,
+  ``seq_two_hier_sa_vae.py:413-414``, is replaced by ``jax.value_and_grad``
+  over a pjit-sharded step in ``train/``);
+- reparametrization / KL-curriculum / losses live in pure functions
+  (:mod:`hm_vae_tpu.train.losses`) so the same module serves train, eval and
+  test-time latent optimization.
+
+Hierarchical latents (shallow -> deep), e.g. for len-64/SMPL-24:
+``[(B,14,2*shallow_d), (B,9,2*latent_d), (B,7,2*latent_d), (B,7,2*latent_d)]``.
+The decoder consumes only the deepest z (seeds level 0) and the shallowest z
+(channel-concat at the last level, ``seq_two_hier_sa_vae.py:278-288``); the two
+middle latents are decoded-but-ignored, kept for API parity (zeros at test
+time, ``:804-817``).
+
+Init parity note: the reference's ``weights_init`` only rebinds modules whose
+class name *starts with* Conv/Linear (``trainer_motion_vae.py:264-283``), so
+SkeletonConv keeps its per-block kaiming-uniform(a=sqrt(5)) init while the
+plain latent Linears get kaiming-normal(fan_in) with zero bias.  Both are
+reproduced here.
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import skeleton_nn as snn
+from ..utils.config import ModelConfig
+from .structure import ConvSpec, HMVAEStructure, get_structure
+
+
+def _skeleton_conv_weight_init(spec: ConvSpec):
+    """Per-edge-block kaiming-uniform init over masked slices.
+
+    Block ``i`` of the output channels draws U(-b_i, b_i) with
+    ``b_i = 1/sqrt(fan_in_block_i)``; masked-out entries are irrelevant (the
+    mask zeroes them every call) but get drawn too, which is harmless.
+    """
+    bounds = np.repeat(
+        spec.block_bounds, spec.out_channels // spec.n_edges
+    )[:, None, None]  # (C_out, 1, 1)
+
+    def init(key, shape, dtype=jnp.float32):
+        u = jax.random.uniform(key, shape, dtype, -1.0, 1.0)
+        return u * jnp.asarray(bounds, dtype)
+
+    return init
+
+
+def _skeleton_conv_bias_init(spec: ConvSpec):
+    bounds = np.repeat(spec.block_bounds, spec.out_channels // spec.n_edges)
+
+    def init(key, shape, dtype=jnp.float32):
+        u = jax.random.uniform(key, shape, dtype, -1.0, 1.0)
+        return u * jnp.asarray(bounds, dtype)
+
+    return init
+
+
+# latent heads: kaiming_normal(fan_in), zero bias (trainer weights_init
+# 'kaiming' branch, trainer_motion_vae.py:273-282)
+_dense_kernel_init = nn.initializers.variance_scaling(2.0, "fan_in", "normal")
+
+
+class SkeletonConv(nn.Module):
+    """Masked grouped-by-edge temporal conv over (B, C, T)."""
+
+    spec: ConvSpec
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        s = self.spec
+        w = self.param(
+            "weight", _skeleton_conv_weight_init(s),
+            (s.out_channels, s.in_channels, s.kernel_size),
+        )
+        b = (
+            self.param("bias", _skeleton_conv_bias_init(s), (s.out_channels,))
+            if s.bias else None
+        )
+        mask = jnp.asarray(s.mask)
+        return snn.skeleton_conv(
+            x, w, b, mask, s.stride, s.padding, s.padding_mode
+        )
+
+
+class Encoder(nn.Module):
+    """4-level skeleton conv/pool encoder with per-level latent heads.
+
+    Input: (B, n_joints*input_dim, T).  Returns the deepest feature map and the
+    list of per-level latent stats (B, k_edges, 2*latent_d), shallow->deep.
+    """
+
+    cfg: ModelConfig
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> Tuple[jnp.ndarray, List[jnp.ndarray]]:
+        st = get_structure(self.cfg)
+        z_stats: List[jnp.ndarray] = []
+        for i, lvl in enumerate(st.encoder_levels):
+            x = SkeletonConv(lvl.conv, name=f"conv_{i}")(x)
+            x = snn.apply_channel_matrix(x, jnp.asarray(lvl.pool_matrix))
+            x = snn.leaky_relu(x, 0.2)
+            B = x.shape[0]
+            # (B, k_edges*cpe, T') -> (B, k_edges, cpe*T')
+            per_edge = x.reshape(B, lvl.pooled_edges, -1)
+            head = nn.Dense(
+                lvl.latent_out, kernel_init=_dense_kernel_init,
+                bias_init=nn.initializers.zeros, name=f"latent_head_{i}",
+            )
+            z_stats.append(head(per_edge))
+        return x, z_stats
+
+
+class Decoder(nn.Module):
+    """Mirror decoder: latent re-inflation + upsample/unpool/conv per level.
+
+    Takes the z list (shallow->deep) and returns (B, n_joints*output_dim, T).
+    """
+
+    cfg: ModelConfig
+
+    @nn.compact
+    def __call__(self, z_list: Sequence[jnp.ndarray]) -> jnp.ndarray:
+        st = get_structure(self.cfg)
+        nl = self.cfg.num_layers
+        B = z_list[0].shape[0]
+
+        # hier feats, deep -> shallow order (decoder consumes reversed z list)
+        hier_feats: List[jnp.ndarray] = []
+        for i, lvl in enumerate(st.decoder_levels):
+            z = z_list[nl - i - 1]  # (B, k_edges, latent_in)
+            feats = nn.Dense(
+                lvl.latent_out, kernel_init=_dense_kernel_init,
+                bias_init=nn.initializers.zeros, name=f"latent_dec_{i}",
+            )(z)
+            hier_feats.append(feats.reshape(B, -1, lvl.timestep))
+
+        x = None
+        for i, lvl in enumerate(st.decoder_levels):
+            if i == 0:
+                x = hier_feats[0]
+            elif i == nl - 1:
+                # channel-concat the shallow latent feats per edge
+                # (seq_two_hier_sa_vae.py:280-288)
+                k_edges = lvl.conv.n_edges  # post-unpool edges != pre-concat!
+                # pre-unpool edge count at this point:
+                pre_edges = st.cascade.pooled_edge_num[0]  # e.g. 14
+                T_i = x.shape[-1]
+                a = x.reshape(B, pre_edges, -1, T_i)
+                b = hier_feats[i].reshape(B, pre_edges, -1, T_i)
+                x = jnp.concatenate((a, b), axis=2).reshape(B, -1, T_i)
+            if lvl.upsample:
+                x = snn.upsample_linear(x, 2)
+            x = snn.apply_channel_matrix(x, jnp.asarray(lvl.unpool_matrix))
+            x = SkeletonConv(lvl.conv, name=f"conv_{i}")(x)
+            if lvl.leaky:
+                x = snn.leaky_relu(x, 0.2)
+        return x
+
+
+class HMVAE(nn.Module):
+    """Hierarchical skeleton-aware VAE: encode to z stats, decode z lists."""
+
+    cfg: ModelConfig
+
+    def setup(self):
+        self.encoder = Encoder(self.cfg)
+        self.decoder = Decoder(self.cfg)
+
+    def __call__(self, x6d: jnp.ndarray):
+        """x6d: (B, T, n_joints, 6) -> (z_stats list, decoder out of means).
+
+        Only used for init/shape-checking; training uses encode/decode.
+        """
+        _, z_stats = self.encode(x6d)
+        z_means = [split_stats(s, self.cfg, i)[0] for i, s in enumerate(z_stats)]
+        return z_stats, self.decode(z_means)
+
+    def encode(self, x6d: jnp.ndarray):
+        """x6d: (B, T, n_joints, 6) -> (deep feature, z stats list)."""
+        B, T, J, D = x6d.shape
+        x = x6d.reshape(B, T, J * D).transpose(0, 2, 1)  # (B, C, T)
+        return self.encoder(x)
+
+    def decode(self, z_list: Sequence[jnp.ndarray]) -> jnp.ndarray:
+        """z list (shallow->deep) -> 6D output (B, T, n_joints, output_dim)."""
+        out = self.decoder(z_list)  # (B, J*out_dim, T)
+        B = out.shape[0]
+        T = out.shape[-1]
+        return out.transpose(0, 2, 1).reshape(
+            B, T, self.cfg.n_joints, self.cfg.output_dim
+        )
+
+
+def split_stats(stats: jnp.ndarray, cfg: ModelConfig, level: int):
+    """(B, k, 2*d) -> (mu, logvar), d = shallow_latent_d at level 0."""
+    d = cfg.shallow_latent_d if level == 0 else cfg.latent_d
+    return stats[..., :d], stats[..., d:]
+
+
+def reparametrize(key, mu: jnp.ndarray, logvar: jnp.ndarray) -> jnp.ndarray:
+    """z = mu + eps * exp(logvar/2) (seq_two_hier_sa_vae.py:419-423)."""
+    eps = jax.random.normal(key, mu.shape, mu.dtype)
+    return mu + eps * jnp.exp(0.5 * logvar)
+
+
+def prior_z_list(key, cfg: ModelConfig, batch: int) -> List[jnp.ndarray]:
+    """Sample z ~ N(0, I) for deep+shallow, zeros for the unused middles.
+
+    Mirrors the test-time sampling layout (seq_two_hier_sa_vae.py:798-817).
+    """
+    st = get_structure(cfg)
+    keys = jax.random.split(key, cfg.num_layers)
+    zs = []
+    for i in range(cfg.num_layers):
+        shape = (batch, st.z_edges[i], st.z_dims[i])
+        if i == 0 or i == cfg.num_layers - 1:
+            zs.append(jax.random.normal(keys[i], shape))
+        else:
+            zs.append(jnp.zeros(shape))
+    return zs

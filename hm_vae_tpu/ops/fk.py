@@ -73,6 +73,12 @@ def fk_from_rotmat(
     levels = level_schedule(tuple(parents))
     off = jnp.asarray(offsets, dtype=rotmats.dtype)  # (J, 3)
 
+    # Flatten leading dims to a single batch axis: one canonical (N, L, 3, 3)
+    # dot shape per level (also sidesteps an XLA CPU simplifier crash seen
+    # with >1 leading batch dims on batched 3x3 dots).
+    lead = rotmats.shape[:-3]
+    rotmats = rotmats.reshape((-1, J, 3, 3))
+
     # Global state built functionally level by level; scatter via .at[] on the
     # joint axis (static indices -> XLA constant-folds the gathers/scatters).
     g_rot = jnp.broadcast_to(
@@ -100,8 +106,9 @@ def fk_from_rotmat(
         g_rot = g_rot.at[..., jidx, :, :].set(new_rot)
         pos = pos.at[..., jidx, :].set(new_pos)
 
+    pos = pos.reshape(lead + (J, 3))
     if return_global_rot:
-        return pos, g_rot
+        return pos, g_rot.reshape(lead + (J, 3, 3))
     return pos
 
 
@@ -117,6 +124,34 @@ def fk_from_rot6d(
     (``fk_layer.py:50-53`` + forward).
     """
     return fk_from_rotmat(rot6d_to_rotmat(rot6d), offsets, parents)
+
+
+def fk_numpy(
+    rotmats: np.ndarray,
+    offsets: np.ndarray | None = None,
+    parents: Tuple[int, ...] = SMPL24_PARENTS,
+) -> np.ndarray:
+    """Host-side numpy FK for data preparation (no XLA compile per shape).
+
+    Same level-batched formulation as :func:`fk_from_rotmat`, vectorised over
+    arbitrary leading dims.
+    """
+    if offsets is None:
+        offsets = default_offsets()
+    off = np.asarray(offsets, dtype=rotmats.dtype)
+    J = len(parents)
+    lead = rotmats.shape[:-3]
+    r = rotmats.reshape((-1, J, 3, 3))
+    g = np.zeros_like(r)
+    g[:, 0] = r[:, 0]
+    pos = np.zeros(r.shape[:-2] + (3,), dtype=r.dtype)
+    pos[:, 0] = off[0]
+    for joints, par in level_schedule(tuple(parents)):
+        j = np.asarray(joints)
+        p = np.asarray(par)
+        g[:, j] = g[:, p] @ r[:, j]
+        pos[:, j] = pos[:, p] + np.einsum("nlij,lj->nli", g[:, p], off[j])
+    return pos.reshape(lead + (J, 3))
 
 
 class ForwardKinematics:

@@ -1,0 +1,114 @@
+"""Data pipeline tests: layout offsets, synthetic gen, sampling, augs."""
+
+import numpy as np
+import pytest
+
+from hm_vae_tpu.data import layout, synthetic
+from hm_vae_tpu.data.dataset import (
+    EvalMotionDataset, MotionDataset, random_rotation_matrices,
+)
+
+
+def test_layout_offsets():
+    assert layout.ROT6D == slice(0, 144)
+    assert layout.ROTMAT == slice(144, 360)
+    assert layout.COORD == slice(360, 432)
+    assert layout.LINEAR_V == slice(432, 504)
+    assert layout.ANGULAR_V == slice(504, 576)
+    assert layout.ROOT_V == slice(576, 579)
+    assert layout.FRAME_DIM == 579
+
+
+def test_synth_sequence_consistency():
+    rng = np.random.default_rng(0)
+    seq = synthetic.synth_sequence(rng, 32)
+    assert seq.shape == (32, 579)
+    mats = seq[:, layout.ROTMAT].reshape(32, 24, 3, 3)
+    # valid rotations
+    eye = np.einsum("tjab,tjcb->tjac", mats, mats)
+    np.testing.assert_allclose(eye, np.broadcast_to(np.eye(3), eye.shape), atol=1e-4)
+    # rot6d matches first two columns
+    six = seq[:, layout.ROT6D].reshape(32, 24, 6)
+    np.testing.assert_allclose(six[..., :3], mats[..., :, 0], atol=1e-6)
+    # linear_v is the coord diff with zero first frame
+    coords = seq[:, layout.COORD]
+    lv = seq[:, layout.LINEAR_V]
+    np.testing.assert_allclose(lv[1:], np.diff(coords, axis=0), atol=1e-5)
+    np.testing.assert_allclose(lv[0], 0, atol=1e-6)
+    # angular slot duplicates linear (reference quirk kept for layout parity)
+    np.testing.assert_allclose(seq[:, layout.ANGULAR_V], lv)
+
+
+@pytest.fixture(scope="module")
+def data_dir(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("synds"))
+    synthetic.generate_dataset(d, num_seqs=6, min_len=40, max_len=90, seed=1)
+    return d
+
+
+def test_dataset_batches(data_dir):
+    import os
+    ms = np.load(os.path.join(data_dir, "mean_std.npy"))
+    ds = MotionDataset(os.path.join(data_dir, "seqs"),
+                       os.path.join(data_dir, "train.json"), ms, 16, seed=0)
+    b = ds.sample_batch(4)
+    assert b["rot_6d"].shape == (4, 16, 24, 6)
+    assert b["rot_mat"].shape == (4, 16, 24, 3, 3)
+    assert b["root_v"].shape == (4, 16, 3)
+    # normalized fields have moderate scale
+    assert abs(b["joint_pos"].mean()) < 1.0
+    # consistency between 6d and rotmat fields
+    np.testing.assert_allclose(
+        b["rot_6d"][..., :3], b["rot_mat"][..., :, 0], atol=1e-6)
+
+
+def test_fps_aug_and_reproducibility(data_dir):
+    import os
+    ms = np.load(os.path.join(data_dir, "mean_std.npy"))
+    mk = lambda s: MotionDataset(os.path.join(data_dir, "seqs"),
+                                 os.path.join(data_dir, "train.json"), ms, 16,
+                                 fps_aug=True, seed=s)
+    b1 = mk(7).sample_batch(8)
+    b2 = mk(7).sample_batch(8)
+    np.testing.assert_allclose(b1["rot_6d"], b2["rot_6d"])  # same seed = same data
+    b3 = mk(8).sample_batch(8)
+    assert np.abs(b1["rot_6d"] - b3["rot_6d"]).max() > 1e-3
+
+
+def test_random_rotation_matrices_uniformity():
+    R = random_rotation_matrices(np.random.default_rng(0), 2000)
+    eye = np.einsum("nab,ncb->nac", R, R)
+    np.testing.assert_allclose(eye, np.broadcast_to(np.eye(3), eye.shape), atol=1e-5)
+    np.testing.assert_allclose(np.linalg.det(R), 1.0, atol=1e-5)
+    # mean rotated z-axis should be ~0 for a uniform distribution
+    v = R @ np.array([0.0, 0.0, 1.0])
+    assert np.abs(v.mean(axis=0)).max() < 0.06
+
+
+def test_root_rot_aug_consistency(data_dir):
+    import os
+    ms = np.load(os.path.join(data_dir, "mean_std.npy"))
+    ds = MotionDataset(os.path.join(data_dir, "seqs"),
+                       os.path.join(data_dir, "train.json"), ms, 16,
+                       random_root_rot=True, seed=0)
+    b = ds.sample_batch(4)
+    mats = b["rot_mat"]
+    # still valid rotations after augmentation
+    eye = np.einsum("xtjab,xtjcb->xtjac", mats, mats)
+    np.testing.assert_allclose(eye, np.broadcast_to(np.eye(3), eye.shape), atol=1e-4)
+    # 6d rebuilt from matrices
+    np.testing.assert_allclose(b["rot_6d"][..., 3:], mats[..., :, 1], atol=1e-6)
+
+
+def test_eval_dataset_masks(data_dir):
+    import os
+    ds = EvalMotionDataset(os.path.join(data_dir, "seqs"),
+                           os.path.join(data_dir, "test.json"), missing="lower")
+    item = ds[0]
+    m = item["mask"]
+    assert m.shape[1] == 24
+    assert (m[:, list(EvalMotionDataset.LOWER_JOINTS)] == 0).all()
+    assert (m[:, 0] == 1).all()
+    # masked reps zeroed exactly where mask == 0
+    assert (item["masked_6d"][m == 0] == 0).all()
+    assert (item["masked_rot"][m == 0] == 0).all()

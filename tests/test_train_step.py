@@ -1,0 +1,117 @@
+"""Training-step tests: loss decreases, curriculum gating, optimizer parity."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+import pytest
+
+from hm_vae_tpu.models.hm_vae import HMVAE
+from hm_vae_tpu.train.losses import hmvae_forward, kl_normal
+from hm_vae_tpu.train.optim import make_optimizer, make_schedule
+from hm_vae_tpu.train.train_step import create_state, make_eval_step, make_train_step
+from hm_vae_tpu.utils.config import (
+    Config, LossConfig, ModelConfig, OptimConfig,
+)
+
+TINY = Config(
+    model=ModelConfig(latent_d=6, shallow_latent_d=6, kernel_size=3, train_seq_len=8),
+    loss=LossConfig(iteration_interval=5),
+    optim=OptimConfig(lr=1e-3, batch_size=4),
+)
+
+
+def synth_batch(key, B, T):
+    from hm_vae_tpu.ops import rotations as rot
+    aa = jax.random.normal(key, (B, T, 24, 3)) * 0.3
+    mats = rot.aa_to_rotmat(aa)
+    return {
+        "rot_6d": rot.rotmat_to_rot6d(mats),
+        "rot_mat": mats,
+    }
+
+
+def test_schedule_steplr():
+    sch = make_schedule(OptimConfig(lr=1e-4, lr_policy="step", step_size=100, gamma=0.3))
+    assert np.isclose(sch(0), 1e-4)
+    assert np.isclose(sch(99), 1e-4)
+    assert np.isclose(sch(100), 3e-5)
+    assert np.isclose(sch(250), 9e-6)
+
+
+def test_optimizer_matches_torch_adam_l2():
+    torch = pytest.importorskip("torch")
+    # avoid values where wd*w exactly cancels g: Adam amplifies 1-ulp
+    # residues of exact cancellation into framework-dependent noise
+    w0 = np.array([1.1, -2.3, 3.7], dtype=np.float32)
+    g = np.array([0.13, 0.21, -0.08], dtype=np.float32)
+
+    tw = torch.nn.Parameter(torch.from_numpy(w0.copy()))
+    topt = torch.optim.Adam([tw], lr=0.01, weight_decay=0.1)
+    for _ in range(5):
+        topt.zero_grad()
+        tw.grad = torch.from_numpy(g.copy())
+        topt.step()
+
+    tx = make_optimizer(OptimConfig(lr=0.01, weight_decay=0.1, lr_policy="constant"))
+    params = jnp.asarray(w0)
+    state = tx.init(params)
+    for _ in range(5):
+        upd, state = tx.update(jnp.asarray(g), state, params)
+        params = optax.apply_updates(params, upd)
+    np.testing.assert_allclose(np.asarray(params), tw.detach().numpy(), atol=1e-4)
+
+
+def test_kl_normal_zero_at_standard():
+    mu = jnp.zeros((4, 6))
+    logvar = jnp.zeros((4, 6))
+    assert float(kl_normal(mu, logvar)) == 0.0
+    assert float(kl_normal(mu + 1.0, logvar)) > 0
+
+
+def test_loss_decreases_over_steps():
+    cfg = TINY
+    model = HMVAE(cfg.model)
+    state = create_state(model, cfg, jax.random.PRNGKey(0))
+    step_fn = jax.jit(make_train_step(model, cfg))
+    batch = synth_batch(jax.random.PRNGKey(1), 4, 8)
+    first = None
+    for i in range(30):
+        state, metrics = step_fn(state, batch, jax.random.PRNGKey(100 + i))
+        if first is None:
+            first = float(metrics["loss_total"])
+    last = float(metrics["loss_total"])
+    assert np.isfinite(last)
+    assert last < first * 0.9, (first, last)
+    assert int(state.step) == 30
+
+
+def test_curriculum_gates_shallow_gradient():
+    cfg = TINY  # iteration_interval = 5
+    model = HMVAE(cfg.model)
+    batch = synth_batch(jax.random.PRNGKey(2), 2, 8)
+    x = batch["rot_6d"]
+    params = model.init(jax.random.PRNGKey(0), x)
+
+    def shallow_head_grad(step):
+        def loss(p):
+            total, _ = hmvae_forward(
+                model, p, batch, jax.random.PRNGKey(3),
+                jnp.asarray(step), cfg, sample=False)
+            return total
+        g = jax.grad(loss)(params)
+        return np.abs(np.asarray(
+            g["params"]["encoder"]["latent_head_0"]["kernel"])).sum()
+
+    # before the interval the shallow head gets no gradient (z + KL detached)
+    assert shallow_head_grad(0) == 0.0
+    assert shallow_head_grad(10) > 0.0
+
+
+def test_eval_step_runs():
+    cfg = TINY
+    model = HMVAE(cfg.model)
+    state = create_state(model, cfg, jax.random.PRNGKey(0))
+    ev = jax.jit(make_eval_step(model, cfg))
+    m = ev(state, synth_batch(jax.random.PRNGKey(4), 4, 8), jax.random.PRNGKey(5))
+    assert np.isfinite(float(m["loss_total"]))
