@@ -1,1 +1,1 @@
-from . import hm_vae, structure  # noqa: F401
+from . import hm_vae, structure, trajectory  # noqa: F401

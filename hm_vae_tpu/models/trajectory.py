@@ -1,0 +1,159 @@
+"""Root-trajectory prediction model (flax).
+
+Re-design of the reference ``TrajectoryModel``
+(``trajectory_pred_model.py:45-260, 399-440``):
+
+- stride-1 skeleton conv/pool encoder (channel base 3 for joint-position
+  input) -> per-frame latent (B, 7*d_model, T);
+- ``fc_mapping``: Linear(7*d_model -> 3) per frame regressing normalised root
+  velocity;
+- trajectory accumulation (``gen_motion_w_trajectory``,
+  ``trajectory_pred_model.py:289-303``) as a ``cumsum`` instead of a Python
+  loop over timesteps;
+- fully convolutional: runs on arbitrary T in one shot.
+
+The reference's never-instantiated trajectory Decoder
+(``trajectory_pred_model.py:117-172``) is intentionally not rebuilt.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data import layout
+from ..ops import fk as fk_mod
+from ..ops import rotations as rot
+from ..ops import skeleton_nn as snn
+from ..utils.config import Config, ModelConfig
+from .hm_vae import SkeletonConv, _dense_kernel_init
+from .structure import get_trajectory_structure
+
+
+class TrajectoryEncoder(nn.Module):
+    """Stride-1 cascade: (B, C0, T) -> (B, out_edges*d_model, T)."""
+
+    cfg: ModelConfig
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        st = get_trajectory_structure(self.cfg)
+        for i, lvl in enumerate(st.levels):
+            x = SkeletonConv(lvl.conv, name=f"conv_{i}")(x)
+            x = snn.apply_channel_matrix(x, jnp.asarray(lvl.pool_matrix))
+            x = snn.leaky_relu(x, 0.2)
+        return x
+
+
+class TrajectoryModel(nn.Module):
+    """Per-frame root velocity regression from pose sequences."""
+
+    cfg: ModelConfig
+
+    @nn.compact
+    def __call__(self, inputs: jnp.ndarray) -> jnp.ndarray:
+        """inputs: (B, T, 24, C0) -> root_v (B, T, 3), normalised units."""
+        st = get_trajectory_structure(self.cfg)
+        B, T, J, C0 = inputs.shape
+        x = inputs.reshape(B, T, J * C0).transpose(0, 2, 1)
+        latent = TrajectoryEncoder(self.cfg, name="encoder")(x)
+        # (B, k*d, T) -> (B, T, k*d); keep (edge, channel) interleaving
+        # identical to the reference's view/transpose chain
+        # (trajectory_pred_model.py:230-235)
+        feat = latent.transpose(0, 2, 1)
+        return nn.Dense(
+            3, kernel_init=_dense_kernel_init,
+            bias_init=nn.initializers.zeros, name="fc_mapping",
+        )(feat)
+
+
+def accumulate_root_trajectory(root_v: jnp.ndarray) -> jnp.ndarray:
+    """(B, T, 3) per-step root velocity -> (B, T, 3) absolute root translation.
+
+    Timestep 0 contributes nothing (the reference's loop starts at t=1,
+    ``trajectory_pred_model.py:299-301``); implemented as a masked cumsum.
+    """
+    v = root_v.at[:, 0].set(0.0)
+    return jnp.cumsum(v, axis=1)
+
+
+def add_trajectory(pose: jnp.ndarray, root_v: jnp.ndarray) -> jnp.ndarray:
+    """Place poses in world space: (B, T, 24, 3) + accumulated root_v."""
+    return pose + accumulate_root_trajectory(root_v)[:, :, None, :]
+
+
+class TrajectoryRunner:
+    """Inference wrapper: 6D/positions in -> world-space pose sequence out.
+
+    Mirrors ``sampled_seq_test`` (``trajectory_pred_model.py:399-440``):
+    FK -> normalise with the dataset stats' joint-pos slice -> encoder ->
+    de-standardise root_v -> integrate.
+    """
+
+    def __init__(self, model: TrajectoryModel, params, mean_std: np.ndarray):
+        self.model = model
+        self.params = params
+        self.mean = jnp.asarray(mean_std[0])
+        self.std = jnp.asarray(mean_std[1])
+        self._jit_pred = jax.jit(self._predict)
+
+    def _predict(self, pose: jnp.ndarray) -> jnp.ndarray:
+        """pose: (B, T, 24, 3) unnormalised FK positions -> root_v (B,T,3)
+        in *unnormalised* units."""
+        B, T = pose.shape[:2]
+        mean = self.mean[layout.COORD].reshape(24, 3)
+        std = self.std[layout.COORD].reshape(24, 3)
+        normalized = (pose - mean) / std
+        root_v_n = self.model.apply(self.params, normalized)
+        mean_rv = self.mean[layout.ROOT_V]
+        std_rv = self.std[layout.ROOT_V]
+        return mean_rv + std_rv * root_v_n
+
+    def __call__(self, data: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """data: (B, T, 24, 6) rot6d or (B, T, 24, 3) positions.
+
+        Returns (world_pose (B,T,24,3), root_v (B,T,3) unnormalised).
+        """
+        if data.shape[-1] == 6:
+            pose = fk_mod.fk_from_rot6d(data, fk_mod.default_offsets())
+        else:
+            pose = data
+        root_v = self._jit_pred(pose)
+        return add_trajectory(pose, root_v), root_v
+
+
+def trajectory_losses(
+    model: TrajectoryModel, params, batch, cfg: Config,
+    mean_std: np.ndarray,
+) -> Tuple[jnp.ndarray, dict]:
+    """Training loss: L2 on normalised root_v + L2 on accumulated world
+    trajectories (``use_accumulation_root_v``,
+    ``trajectory_pred_model.py:237-244``).  Trajectories are accumulated on
+    *de-standardised* velocities, as the reference does inside
+    ``gen_motion_w_trajectory`` (``:292-294``)."""
+    inputs = (
+        batch["joint_pos"] if cfg.model.trajectory_input_joint_pos
+        else batch["rot_6d"]
+    )
+    root_v_gt = batch["root_v"]
+    pred = model.apply(params, inputs)
+    l_root_v = jnp.mean((pred - root_v_gt) ** 2)
+    if cfg.model.use_accumulation_root_v:
+        mean_rv = jnp.asarray(mean_std[0][layout.ROOT_V])
+        std_rv = jnp.asarray(mean_std[1][layout.ROOT_V])
+        pose = batch["rot_pos"]
+        pred_w = add_trajectory(pose, mean_rv + std_rv * pred)
+        gt_w = add_trajectory(pose, mean_rv + std_rv * root_v_gt)
+        l_trans = jnp.mean((pred_w - gt_w) ** 2)
+    else:
+        l_trans = jnp.zeros(())
+    total = cfg.loss.rec_root_v_w * l_root_v + cfg.loss.rec_root_trans_w * l_trans
+    return total, {
+        "loss_total": total,
+        "loss_rec_root_v": l_root_v,
+        "loss_rec_root_trans": l_trans,
+    }

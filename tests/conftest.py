@@ -2,12 +2,14 @@
 
 Multi-chip hardware is not needed for correctness tests — the standard JAX
 trick of faking N host devices exercises every sharding/collective path.
-Must run before jax initialises, hence the env mutation at import time.
+
+Note: the environment ships a sitecustomize that pins JAX_PLATFORMS=axon (the
+TPU tunnel), so the env var alone is not enough; ``jax.config.update`` after
+import takes precedence.
 """
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -16,6 +18,7 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
 # persistent compile cache makes repeated test runs fast
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_tests")

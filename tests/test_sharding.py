@@ -1,0 +1,56 @@
+"""SPMD tests on the virtual 8-device CPU mesh."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from hm_vae_tpu.models.hm_vae import HMVAE
+from hm_vae_tpu.parallel import sharding as sh
+from hm_vae_tpu.utils.config import Config, LossConfig, ModelConfig, OptimConfig
+from tests.test_train_step import synth_batch, TINY
+
+
+def test_eight_virtual_devices():
+    assert len(jax.devices()) == 8
+
+
+def test_data_parallel_step_matches_single_device():
+    cfg = TINY
+    model = HMVAE(cfg.model)
+    mesh = sh.make_mesh(8, model_parallel=1)
+    state, shardings = sh.create_sharded_state(model, cfg, jax.random.PRNGKey(0), mesh)
+    step = sh.make_sharded_train_step(model, cfg, mesh, shardings)
+
+    batch = synth_batch(jax.random.PRNGKey(1), 8, 8)
+
+    # single-device reference
+    from hm_vae_tpu.train.train_step import create_state, make_train_step
+    ref_state = create_state(model, cfg, jax.random.PRNGKey(0))
+    ref_step = jax.jit(make_train_step(model, cfg))
+    ref_state, ref_metrics = ref_step(ref_state, batch, jax.random.PRNGKey(2))
+
+    dbatch = sh.device_put_batch(jax.tree.map(np.asarray, batch), mesh)
+    state, metrics = step(state, dbatch, jax.random.PRNGKey(2))
+
+    np.testing.assert_allclose(
+        float(metrics["loss_total"]), float(ref_metrics["loss_total"]), rtol=1e-4)
+    # parameters evolve identically (same rng, same data)
+    pa = jax.tree.leaves(state.params)[0]
+    pb = jax.tree.leaves(ref_state.params)[0]
+    np.testing.assert_allclose(np.asarray(pa), np.asarray(pb), atol=1e-5)
+
+
+def test_tensor_parallel_compiles_and_runs():
+    cfg = TINY
+    model = HMVAE(cfg.model)
+    mesh = sh.make_mesh(8, model_parallel=2)
+    state, shardings = sh.create_sharded_state(model, cfg, jax.random.PRNGKey(0), mesh)
+    step = sh.make_sharded_train_step(model, cfg, mesh, shardings)
+    batch = sh.device_put_batch(
+        jax.tree.map(np.asarray, synth_batch(jax.random.PRNGKey(1), 4, 8)), mesh)
+    state, metrics = step(state, batch, jax.random.PRNGKey(2))
+    assert np.isfinite(float(metrics["loss_total"]))
+    # latent head kernel is actually sharded over the model axis
+    k = state.params["params"]["encoder"]["latent_head_0"]["kernel"]
+    spec = k.sharding.spec
+    assert spec == jax.sharding.PartitionSpec(None, "model")
