@@ -1,0 +1,217 @@
+"""Trainer: model factory, sharded step, checkpointing, run loop.
+
+Replaces the reference ``Trainer`` (``trainer_motion_vae.py:15-237``) and the
+driver loop in ``train_motion_vae.py:79-163``:
+
+- model factory by ``cfg.model.model_name`` (``trainer_motion_vae.py:19-22``);
+- orbax checkpoints of (params, opt_state, step) — the step lives *in* the
+  checkpoint instead of being parsed out of the filename
+  (``trainer_motion_vae.py:102-110``);
+- explicit metric dict logging every ``log_iter``; validation every
+  ``validation_iter`` (<= 50 val batches, ``train_motion_vae.py:98-110``);
+- SPMD over a data mesh (DataParallel replacement).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..data.dataset import MotionDataset, PrefetchIterator, make_loaders
+from ..models.hm_vae import HMVAE
+from ..models.trajectory import TrajectoryModel, trajectory_losses
+from ..parallel import sharding as sh
+from ..utils.config import Config
+from ..utils.logging import MetricWriter, make_result_folders
+from .losses import hmvae_forward
+from .optim import make_optimizer
+from .train_step import TrainState
+
+try:
+    import orbax.checkpoint as ocp
+except Exception:  # pragma: no cover
+    ocp = None
+
+
+class Trainer:
+    def __init__(self, cfg: Config, output_dir: str = "outputs/run",
+                 mesh=None, mean_std: Optional[np.ndarray] = None):
+        self.cfg = cfg
+        self.output_dir = output_dir
+        self.ckpt_dir, self.image_dir = make_result_folders(output_dir)
+        self.writer = MetricWriter(os.path.join(output_dir, "logs"))
+        if mesh is None:
+            # data-parallel degree must divide the global batch
+            import math
+
+            n = math.gcd(len(jax.devices()), cfg.optim.batch_size)
+            mesh = sh.make_mesh(max(n, 1))
+        self.mesh = mesh
+        self.mean_std = mean_std
+
+        name = cfg.model.model_name
+        if name == "TrajectoryModel":
+            self.model = TrajectoryModel(cfg.model)
+        elif name == "TwoHierSAVAEModel":
+            self.model = HMVAE(cfg.model)
+        else:
+            raise ValueError(f"unknown model_name: {name}")
+
+        self.tx = make_optimizer(cfg.optim)
+        rng = jax.random.PRNGKey(cfg.run.seed)
+        self.state, self.shardings = self._create_state(rng)
+        self._step_fn = None
+        self._eval_fn = None
+
+    # ------------------------------------------------------------------
+    def _init_params(self, rng):
+        m = self.cfg.model
+        if isinstance(self.model, TrajectoryModel):
+            c0 = 3 if m.trajectory_input_joint_pos else m.input_dim
+            dummy = jnp.zeros((2, m.train_seq_len, m.n_joints, c0))
+        else:
+            dummy = jnp.zeros((2, m.train_seq_len, m.n_joints, m.input_dim))
+        return self.model.init(rng, dummy)
+
+    def _create_state(self, rng):
+        def build(r):
+            params = self._init_params(r)
+            return TrainState(params=params, opt_state=self.tx.init(params),
+                              step=jnp.zeros((), jnp.int32))
+
+        state_shape = jax.eval_shape(build, rng)
+        shardings = sh.state_sharding(state_shape, self.mesh)
+        state = jax.jit(build, out_shardings=shardings)(rng)
+        return state, shardings
+
+    def _loss_fn(self, params, batch, rng, step, sample=True):
+        if isinstance(self.model, TrajectoryModel):
+            ms = self.mean_std if self.mean_std is not None else np.stack(
+                [np.zeros(579, np.float32), np.ones(579, np.float32)])
+            return trajectory_losses(self.model, params, batch, self.cfg, ms)
+        return hmvae_forward(self.model, params, batch, rng, step, self.cfg,
+                             sample=sample)
+
+    def _build_steps(self):
+        def train_step(state: TrainState, batch, rng):
+            (_, metrics), grads = jax.value_and_grad(
+                self._loss_fn, has_aux=True
+            )(state.params, batch, rng, state.step)
+            updates, new_opt = self.tx.update(grads, state.opt_state,
+                                              state.params)
+            new_params = optax.apply_updates(state.params, updates)
+            return TrainState(params=new_params, opt_state=new_opt,
+                              step=state.step + 1), metrics
+
+        def eval_step(state: TrainState, batch, rng):
+            _, metrics = self._loss_fn(state.params, batch, rng, state.step)
+            return metrics
+
+        bsh = sh.batch_sharding(self.mesh)
+        rep = jax.sharding.NamedSharding(self.mesh, jax.sharding.PartitionSpec())
+        self._step_fn = jax.jit(
+            train_step,
+            in_shardings=(self.shardings, bsh, rep),
+            out_shardings=(self.shardings, rep),
+            donate_argnums=(0,),
+        )
+        self._eval_fn = jax.jit(
+            eval_step, in_shardings=(self.shardings, bsh, rep),
+            out_shardings=rep,
+        )
+
+    # ------------------------------------------------------------------
+    # checkpointing
+    def save(self, step: Optional[int] = None) -> str:
+        assert ocp is not None, "orbax unavailable"
+        step = int(self.state.step) if step is None else step
+        path = os.path.join(os.path.abspath(self.ckpt_dir), f"gen_{step:08d}")
+        ckptr = ocp.StandardCheckpointer()
+        ckptr.save(path, jax.tree.map(np.asarray, self.state), force=True)
+        ckptr.wait_until_finished()
+        return path
+
+    def latest_checkpoint(self) -> Optional[str]:
+        if not os.path.isdir(self.ckpt_dir):
+            return None
+        cands = sorted(
+            d for d in os.listdir(self.ckpt_dir) if d.startswith("gen_")
+        )
+        return os.path.join(os.path.abspath(self.ckpt_dir), cands[-1]) if cands else None
+
+    def resume(self, path: Optional[str] = None) -> int:
+        """Restore (params, opt_state, step); returns the restored step."""
+        assert ocp is not None, "orbax unavailable"
+        path = path or self.latest_checkpoint()
+        if path is None:
+            return 0
+        ckptr = ocp.StandardCheckpointer()
+        target = jax.tree.map(np.asarray, self.state)
+        restored = ckptr.restore(path, target)
+        self.state = jax.device_put(restored, self.shardings)
+        return int(self.state.step)
+
+    def load_params(self, path: str) -> None:
+        """Non-strict params-only restore (load_ckpt analogue,
+        trainer_motion_vae.py:129-135)."""
+        self.resume(path)
+
+    # ------------------------------------------------------------------
+    def fit(
+        self,
+        train_ds: MotionDataset,
+        val_ds: Optional[MotionDataset] = None,
+        max_iter: Optional[int] = None,
+        log_cb=None,
+    ) -> Dict[str, float]:
+        cfg = self.cfg
+        if self._step_fn is None:
+            self._build_steps()
+        max_iter = max_iter if max_iter is not None else cfg.optim.max_iter
+        bs = cfg.optim.batch_size
+        rng = jax.random.PRNGKey(cfg.run.seed + 17)
+
+        it = PrefetchIterator(train_ds.iter_batches(bs), depth=cfg.data.num_prefetch)
+        metrics = {}
+        start = int(self.state.step)
+        try:
+            for i in range(start, max_iter):
+                batch = sh.device_put_batch(next(it), self.mesh)
+                self.state, metrics = self._step_fn(
+                    self.state, batch, jax.random.fold_in(rng, i))
+
+                if (i + 1) % cfg.run.log_iter == 0:
+                    host = {k: float(v) for k, v in metrics.items()}
+                    self.writer.write(i + 1, host)
+                    if log_cb:
+                        log_cb(i + 1, host)
+
+                if val_ds is not None and (i + 1) % cfg.run.validation_iter == 0:
+                    vals = []
+                    for vi in range(min(50, max(1, len(val_ds)))):
+                        vb = sh.device_put_batch(val_ds.sample_batch(bs), self.mesh)
+                        vm = self._eval_fn(self.state, vb,
+                                           jax.random.fold_in(rng, 10_000_000 + vi))
+                        vals.append({k: float(v) for k, v in vm.items()})
+                    avg = {f"val_{k}": float(np.mean([v[k] for v in vals]))
+                           for k in vals[0]}
+                    self.writer.write(i + 1, avg)
+
+                if (i + 1) % cfg.run.snapshot_save_iter == 0:
+                    self.save(i + 1)
+        finally:
+            it.close()
+        return {k: float(v) for k, v in metrics.items()}
+
+
+def build_trainer(cfg: Config, output_dir: str) -> tuple:
+    """Construct (trainer, train_ds, val_ds, test_ds) with matching stats."""
+    train_ds, val_ds, test_ds = make_loaders(cfg)
+    ms = np.stack([train_ds.mean, train_ds.std])
+    trainer = Trainer(cfg, output_dir, mean_std=ms)
+    return trainer, train_ds, val_ds, test_ds

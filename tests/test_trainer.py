@@ -1,0 +1,68 @@
+"""Trainer integration tests: fit loop, checkpoint save/resume round-trip."""
+
+import glob
+import os
+
+import numpy as np
+import jax
+
+from hm_vae_tpu.train.trainer import Trainer, build_trainer
+from hm_vae_tpu.utils.config import (
+    Config, DataConfig, LossConfig, ModelConfig, OptimConfig, RunConfig,
+)
+
+
+def tiny_cfg(tmp, max_iter=6, model_name="TwoHierSAVAEModel"):
+    return Config(
+        model=ModelConfig(model_name=model_name, latent_d=6, shallow_latent_d=6,
+                          kernel_size=3, train_seq_len=8),
+        loss=LossConfig(iteration_interval=3, rec_root_v_w=1.0,
+                        rec_root_trans_w=1.0),
+        optim=OptimConfig(lr=1e-3, batch_size=4, max_iter=max_iter),
+        data=DataConfig(data_root=os.path.join(tmp, "data"), synthetic=True,
+                        synthetic_num_seqs=6),
+        run=RunConfig(log_iter=2, validation_iter=4, snapshot_save_iter=5),
+    )
+
+
+def test_fit_and_checkpoint_roundtrip(tmp_path):
+    tmp = str(tmp_path)
+    cfg = tiny_cfg(tmp)
+    trainer, train_ds, val_ds, _ = build_trainer(cfg, os.path.join(tmp, "run"))
+    logged = []
+    metrics = trainer.fit(train_ds, val_ds, log_cb=lambda s, m: logged.append(s))
+    assert np.isfinite(metrics["loss_total"])
+    assert int(trainer.state.step) == 6
+    assert logged  # log cadence hit
+
+    # snapshot written at step 5
+    ck = trainer.latest_checkpoint()
+    assert ck and ck.endswith("gen_00000005")
+
+    # fresh trainer resumes exactly
+    trainer2, train_ds2, _, _ = build_trainer(cfg, os.path.join(tmp, "run"))
+    step = trainer2.resume()
+    assert step == 5
+    p1 = jax.tree.leaves(trainer.state.params)
+    # continue training from restored state
+    trainer2.fit(train_ds2, None, max_iter=7)
+    assert int(trainer2.state.step) == 7
+
+    # metrics jsonl exists
+    assert os.path.exists(os.path.join(tmp, "run", "logs", "metrics.jsonl"))
+
+
+def test_trajectory_trainer_fit(tmp_path):
+    tmp = str(tmp_path)
+    cfg = tiny_cfg(tmp, max_iter=4, model_name="TrajectoryModel")
+    # trajectory needs a bigger kernel config normally; tiny is fine here
+    trainer, train_ds, _, _ = build_trainer(cfg, os.path.join(tmp, "runT"))
+    m = trainer.fit(train_ds, None)
+    assert np.isfinite(m["loss_total"])
+    assert "loss_rec_root_v" in m
+
+
+def test_resume_with_explicit_missing_dir(tmp_path):
+    cfg = tiny_cfg(str(tmp_path), max_iter=1)
+    trainer, *_ = build_trainer(cfg, os.path.join(str(tmp_path), "run2"))
+    assert trainer.resume() == 0  # no checkpoint yet -> step 0
