@@ -1,0 +1,52 @@
+"""Evaluation metrics: MPJPE, PA-MPJPE, acceleration error.
+
+The reference *stubs these out* in its public release
+(``trajectory_pred_model.py:478-485, 597-604`` are ``pass``; they came from
+VIBE's ``lib.utils.eval_utils``).  The rebuild needs them for its own
+north-star parity reporting, so they are implemented here (jnp, batched).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def mpjpe(pred: jnp.ndarray, gt: jnp.ndarray) -> jnp.ndarray:
+    """Mean per-joint position error: (..., J, 3) -> scalar (same units)."""
+    return jnp.mean(jnp.linalg.norm(pred - gt, axis=-1))
+
+
+def pa_mpjpe(pred: jnp.ndarray, gt: jnp.ndarray) -> jnp.ndarray:
+    """Procrustes-aligned MPJPE: optimal similarity transform per sample.
+
+    pred/gt: (B, J, 3).  Standard Umeyama alignment (the torch batched
+    version lives in VIBE's ``batch_compute_similarity_transform_torch``).
+    """
+    mu_p = pred.mean(axis=-2, keepdims=True)
+    mu_g = gt.mean(axis=-2, keepdims=True)
+    X = pred - mu_p
+    Y = gt - mu_g
+    # covariance (B, 3, 3)
+    C = jnp.einsum("bji,bjk->bik", Y, X)
+    U, s, Vt = jnp.linalg.svd(C)
+    # reflection fix
+    det = jnp.linalg.det(jnp.einsum("bij,bjk->bik", U, Vt))
+    D = jnp.stack([jnp.ones_like(det), jnp.ones_like(det), det], axis=-1)
+    Rm = jnp.einsum("bij,bj,bjk->bik", U, D, Vt)
+    var_x = jnp.sum(X**2, axis=(-1, -2))
+    scale = (s[..., :2].sum(axis=-1) + s[..., 2] * det) / jnp.maximum(var_x, 1e-8)
+    aligned = scale[:, None, None] * jnp.einsum("bij,bkj->bki", Rm, X) + mu_g
+    return jnp.mean(jnp.linalg.norm(aligned - gt, axis=-1))
+
+
+def accel(joints: jnp.ndarray) -> jnp.ndarray:
+    """Mean acceleration magnitude of (T, J, 3) joints (VIBE compute_accel)."""
+    a = joints[2:] - 2 * joints[1:-1] + joints[:-2]
+    return jnp.mean(jnp.linalg.norm(a, axis=-1))
+
+
+def accel_error(pred: jnp.ndarray, gt: jnp.ndarray) -> jnp.ndarray:
+    """Mean acceleration error between (T, J, 3) trajectories."""
+    ap = pred[2:] - 2 * pred[1:-1] + pred[:-2]
+    ag = gt[2:] - 2 * gt[1:-1] + gt[:-2]
+    return jnp.mean(jnp.linalg.norm(ap - ag, axis=-1))

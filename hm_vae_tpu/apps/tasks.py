@@ -1,0 +1,208 @@
+"""Motion completion / interpolation / generation on long sequences.
+
+The reference's three applications differ only in mask construction and
+stitching policy; here those are data and small host functions around the one
+jitted solver in :mod:`hm_vae_tpu.apps.latent_opt`:
+
+- **interpolation** (``final_long_seq_try_interpolation``,
+  ``seq_two_hier_sa_vae.py:1270-1541``): non-overlapping windows, temporal
+  keyframe mask.  Windows are *independent*, so all of them solve in ONE
+  batched jit call — the reference optimizes them serially.
+- **completion** (``final_motion_completion_long_seq``, ``:1543-1841``):
+  per-joint visibility mask, windows at stride T-1 with the first frame pinned
+  to the previous window's output — inherently sequential outer loop, jitted
+  per-window solve.
+- **generation** (``try_final_long_seq_generation``, ``:1096-1268``):
+  autoregressive windows overlapping ``overlap=10`` frames; z is regularised
+  toward its random initialisation.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.hm_vae import HMVAE
+from ..ops import fk as fk_mod
+from ..ops import rotations as rot
+from ..utils.config import Config
+from .latent_opt import (
+    LatentOptResult, init_z, make_latent_optimizer, replace_with_target,
+)
+
+UPPER_JOINTS = (12, 13, 14, 15, 16, 17, 18, 19, 20, 21, 22, 23)
+LOWER_JOINTS = (0, 3, 6, 9, 1, 2, 4, 5, 7, 8, 10, 11)
+# (seq_two_hier_sa_vae.py:1583-1584)
+
+
+def _targets_from_rotmat(rotmat: jnp.ndarray) -> Dict[str, jnp.ndarray]:
+    """(..., T, 24, 3, 3) -> target dict with 6D and FK positions."""
+    six = rot.rotmat_to_rot6d(rotmat)
+    pose = fk_mod.fk_from_rotmat(rotmat, fk_mod.default_offsets())
+    return {"rot_6d": six, "rot_mat": rotmat, "pose": pose}
+
+
+def interpolation_mask(T: int, keyframe_every: int) -> np.ndarray:
+    """Temporal keyframe mask (T,): 1 at keyframes, incl. the final frame
+    (seq_two_hier_sa_vae.py:1300-1304)."""
+    m = np.zeros(T, dtype=np.float32)
+    m[::keyframe_every] = 1.0
+    m[-1] = 1.0
+    return m
+
+
+def completion_joint_mask(missing: str) -> np.ndarray:
+    """(24,) 1 = visible; missing='upper'|'lower' hides that body part
+    (seq_two_hier_sa_vae.py:1586-1593)."""
+    m = np.ones(24, dtype=np.float32)
+    joints = UPPER_JOINTS if missing == "upper" else LOWER_JOINTS
+    m[list(joints)] = 0.0
+    return m
+
+
+class LatentOptApps:
+    """Bound (model, params) application runner."""
+
+    def __init__(self, model: HMVAE, params, cfg: Config):
+        self.model = model
+        self.params = params
+        self.cfg = cfg
+        self.solve = make_latent_optimizer(model, cfg)
+        self.W = cfg.model.train_seq_len
+
+    # ------------------------------------------------------------------
+    def interpolate(self, rotmat_seq: jnp.ndarray, rng: jax.Array,
+                    replace_with_gt: Optional[bool] = None) -> Dict:
+        """Temporal interpolation of one long sequence.
+
+        rotmat_seq: (T, 24, 3, 3).  Returns stitched (T', ...) outputs where
+        T' = num_windows * W.
+        """
+        lat = self.cfg.latent_opt
+        W = self.W
+        T = rotmat_seq.shape[0]
+        n_win = T // W
+        if n_win == 0:
+            raise ValueError(f"sequence shorter than window: {T} < {W}")
+        wins = rotmat_seq[: n_win * W].reshape(n_win, W, 24, 3, 3)
+
+        targets = _targets_from_rotmat(wins)
+        tmask = interpolation_mask(W, lat.interpolation_window)
+        mask = jnp.asarray(np.tile(tmask[None, :, None], (n_win, 1, 24)))
+
+        z_init = init_z(rng, self.cfg, n_win)
+        z_reg = jax.tree.map(jnp.zeros_like, z_init)
+        res: LatentOptResult = self.solve(self.params, targets, mask,
+                                          z_init, z_reg)
+
+        out6d, outrot, outpose = res.last_6d, res.last_rotmat, res.last_pose
+        if replace_with_gt if replace_with_gt is not None else lat.replace_frame_with_gt:
+            out6d = replace_with_target(out6d, targets["rot_6d"], mask)
+            outrot = replace_with_target(outrot, targets["rot_mat"], mask)
+            outpose = replace_with_target(outpose, targets["pose"], mask)
+
+        def stitch(x):
+            return x.reshape((n_win * W,) + x.shape[2:])
+
+        return {
+            "rot_6d": stitch(out6d), "rot_mat": stitch(outrot),
+            "pose": stitch(outpose), "mask": stitch(mask),
+            "loss_history": res.loss_history,
+        }
+
+    # ------------------------------------------------------------------
+    def complete(self, rotmat_seq: jnp.ndarray, rng: jax.Array,
+                 missing: str = "lower") -> Dict:
+        """Body-part completion over a long sequence with 1-frame stitching."""
+        lat = self.cfg.latent_opt
+        W = self.W
+        overlap = 1
+        stride = W - overlap
+        T = rotmat_seq.shape[0]
+
+        joint_mask = completion_joint_mask(missing)
+        full = _targets_from_rotmat(rotmat_seq)
+
+        acc = None  # dict of stitched outputs
+        w_idx = 0
+        for t0 in range(0, T, stride):
+            if t0 + W > T:
+                break  # final partial window dropped (reference :1654-1655)
+            tgt = {k: v[None, t0 : t0 + W] for k, v in full.items()}
+            mask = np.tile(joint_mask[None, :], (W, 1))
+            if acc is not None:
+                # pin frame 0 to the previous window's full output
+                mask[:overlap] = 1.0
+                for k, prev in (("rot_6d", acc["rot_6d"]),
+                                ("rot_mat", acc["rot_mat"]),
+                                ("pose", acc["pose"])):
+                    tgt[k] = tgt[k].at[0, :overlap].set(prev[-overlap:])
+            mask = jnp.asarray(mask)[None]
+
+            z_init = init_z(jax.random.fold_in(rng, w_idx), self.cfg, 1)
+            z_reg = jax.tree.map(jnp.zeros_like, z_init)
+            res = self.solve(self.params, tgt, mask, z_init, z_reg)
+
+            out = {"rot_6d": res.last_6d, "rot_mat": res.last_rotmat,
+                   "pose": res.last_pose}
+            if lat.replace_part_with_gt:
+                out = {
+                    "rot_6d": replace_with_target(out["rot_6d"], tgt["rot_6d"], mask),
+                    "rot_mat": replace_with_target(out["rot_mat"], tgt["rot_mat"], mask),
+                    "pose": replace_with_target(out["pose"], tgt["pose"], mask),
+                }
+            out = {k: v[0] for k, v in out.items()}
+            if acc is None:
+                acc = out
+            else:
+                acc = {k: jnp.concatenate((acc[k], out[k][overlap:]), axis=0)
+                       for k in acc}
+            w_idx += 1
+        if acc is None:
+            raise ValueError(f"sequence shorter than window: {T} < {W}")
+        return acc
+
+    # ------------------------------------------------------------------
+    def generate(self, seed_rotmat: jnp.ndarray, rng: jax.Array,
+                 num_windows: int = 5, overlap: int = 10) -> Dict:
+        """Autoregressive long-sequence generation from a seed window.
+
+        seed_rotmat: (W, 24, 3, 3) starting motion (e.g. a GT window).
+        Output sequence grows by (W - overlap) frames per window.
+        """
+        W = self.W
+        six = rot.rotmat_to_rot6d(seed_rotmat)
+        pose = fk_mod.fk_from_rotmat(seed_rotmat, fk_mod.default_offsets())
+        whole = {"rot_6d": six, "rot_mat": seed_rotmat, "pose": pose}
+
+        tmask = np.zeros(W, dtype=np.float32)
+        tmask[:overlap] = 1.0
+        mask = jnp.asarray(np.tile(tmask[:, None], (1, 24)))[None]
+
+        for w in range(num_windows):
+            pad = W - overlap
+            tgt = {
+                "rot_6d": jnp.concatenate(
+                    (whole["rot_6d"][-overlap:], jnp.zeros((pad, 24, 6))), 0)[None],
+                "rot_mat": jnp.concatenate(
+                    (whole["rot_mat"][-overlap:], jnp.zeros((pad, 24, 3, 3))), 0)[None],
+                "pose": jnp.concatenate(
+                    (whole["pose"][-overlap:], jnp.zeros((pad, 24, 3))), 0)[None],
+            }
+            z_init = init_z(jax.random.fold_in(rng, w), self.cfg, 1)
+            # generation regularises z toward its random init
+            # (seq_two_hier_sa_vae.py:1150-1154)
+            z_reg = z_init
+            res = self.solve(self.params, tgt, mask, z_init, z_reg)
+            whole = {
+                "rot_6d": jnp.concatenate(
+                    (whole["rot_6d"], res.last_6d[0, overlap:]), 0),
+                "rot_mat": jnp.concatenate(
+                    (whole["rot_mat"], res.last_rotmat[0, overlap:]), 0),
+                "pose": jnp.concatenate(
+                    (whole["pose"], res.last_pose[0, overlap:]), 0),
+            }
+        return whole

@@ -1,0 +1,148 @@
+"""Latent-optimization engine + application tests."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from hm_vae_tpu.apps.latent_opt import init_z, make_latent_optimizer
+from hm_vae_tpu.apps.tasks import (
+    LatentOptApps, completion_joint_mask, interpolation_mask,
+)
+from hm_vae_tpu.models.hm_vae import HMVAE
+from hm_vae_tpu.ops import rotations as rot
+from hm_vae_tpu.utils.config import Config, LatentOptConfig, ModelConfig
+
+CFG = Config(
+    model=ModelConfig(latent_d=6, shallow_latent_d=6, kernel_size=3,
+                      train_seq_len=8),
+    latent_opt=LatentOptConfig(opt_it=30, opt_lr=0.1, opt_step_size=15,
+                               prev_epochs=15, reg_w=0.0, reg_w_decoder=1000.0,
+                               optimize_decoder=True, interpolation_window=3),
+)
+
+
+def _model_and_params():
+    model = HMVAE(CFG.model)
+    x = jnp.zeros((1, 8, 24, 6))
+    return model, model.init(jax.random.PRNGKey(0), x)
+
+
+def _rand_rotmat_seq(key, T):
+    aa = jax.random.normal(key, (T, 24, 3)) * 0.3
+    return rot.aa_to_rotmat(aa)
+
+
+def test_masks():
+    m = interpolation_mask(8, 3)
+    np.testing.assert_allclose(m, [1, 0, 0, 1, 0, 0, 1, 1])
+    jm = completion_joint_mask("lower")
+    assert jm.sum() == 12 and jm[12] == 1 and jm[0] == 0
+    jm = completion_joint_mask("upper")
+    assert jm[12] == 0 and jm[0] == 1
+
+
+def test_solver_reduces_loss():
+    model, params = _model_and_params()
+    solve = make_latent_optimizer(model, CFG)
+    mats = _rand_rotmat_seq(jax.random.PRNGKey(1), 8)[None]
+    from hm_vae_tpu.apps.tasks import _targets_from_rotmat
+    targets = _targets_from_rotmat(mats)
+    mask = jnp.ones((1, 8, 24))
+    z = init_z(jax.random.PRNGKey(2), CFG, 1)
+    zr = jax.tree.map(jnp.zeros_like, z)
+    res = solve(params, targets, mask, z, zr)
+    hist = np.asarray(res.loss_history)
+    assert np.isfinite(hist).all()
+    assert hist[-1] < hist[0] * 0.9, (hist[0], hist[-1])
+    # best_loss <= all observed losses
+    assert res.best_6d.shape == (1, 8, 24, 6)
+
+
+def test_masked_region_influences_only_visible():
+    """Solver must not receive signal from masked-out joints."""
+    model, params = _model_and_params()
+    solve = make_latent_optimizer(model, CFG)
+    from hm_vae_tpu.apps.tasks import _targets_from_rotmat
+    m1 = _rand_rotmat_seq(jax.random.PRNGKey(1), 8)[None]
+    m2 = np.asarray(m1).copy()
+    # change only joint 23 (a leaf: its rotation moves no other joint's FK
+    # position), and mask it out
+    m2[:, :, 23] = np.asarray(_rand_rotmat_seq(jax.random.PRNGKey(9), 8))[:, 23]
+    mask = np.ones((1, 8, 24), np.float32)
+    mask[:, :, 23] = 0.0
+    z = init_z(jax.random.PRNGKey(2), CFG, 1)
+    zr = jax.tree.map(jnp.zeros_like, z)
+    r1 = solve(params, _targets_from_rotmat(m1), jnp.asarray(mask), z, zr)
+    r2 = solve(params, _targets_from_rotmat(jnp.asarray(m2)), jnp.asarray(mask), z, zr)
+    np.testing.assert_allclose(np.asarray(r1.last_6d), np.asarray(r2.last_6d),
+                               atol=1e-5)
+
+
+def test_interpolate_long_seq():
+    model, params = _model_and_params()
+    apps = LatentOptApps(model, params, CFG)
+    seq = _rand_rotmat_seq(jax.random.PRNGKey(3), 20)  # 2 windows of 8
+    out = apps.interpolate(seq, jax.random.PRNGKey(4))
+    assert out["rot_6d"].shape == (16, 24, 6)
+    assert out["pose"].shape == (16, 24, 3)
+    # keyframes replaced with GT (replace_frame_with_gt default True)
+    six_gt = rot.rotmat_to_rot6d(seq[:16])
+    m = np.asarray(out["mask"])[:, :, None]
+    np.testing.assert_allclose(
+        np.asarray(out["rot_6d"]) * m, np.asarray(six_gt) * m, atol=1e-5)
+
+
+def test_complete_long_seq():
+    model, params = _model_and_params()
+    apps = LatentOptApps(model, params, CFG)
+    seq = _rand_rotmat_seq(jax.random.PRNGKey(5), 17)  # windows: 0..7, 7..14
+    out = apps.complete(seq, jax.random.PRNGKey(6), missing="lower")
+    T_out = out["rot_6d"].shape[0]
+    assert T_out == 15  # 8 + 7
+    # visible (upper-body) joints replaced with GT
+    six_gt = np.asarray(rot.rotmat_to_rot6d(seq))[:T_out]
+    vis = completion_joint_mask("lower").astype(bool)
+    np.testing.assert_allclose(
+        np.asarray(out["rot_6d"])[1:, vis], six_gt[1:, vis], atol=1e-5)
+
+
+def test_generate_long_seq():
+    model, params = _model_and_params()
+    apps = LatentOptApps(model, params, CFG)
+    seed = _rand_rotmat_seq(jax.random.PRNGKey(7), 8)
+    out = apps.generate(seed, jax.random.PRNGKey(8), num_windows=2, overlap=3)
+    assert out["rot_6d"].shape[0] == 8 + 2 * 5
+    assert np.isfinite(np.asarray(out["pose"])).all()
+
+
+def test_baselines():
+    from hm_vae_tpu.apps.baselines import lerp_root_trajectory, slerp_rotations
+    seq = np.asarray(_rand_rotmat_seq(jax.random.PRNGKey(9), 10))
+    mask = np.zeros(10, np.float32)
+    mask[[0, 4, 9]] = 1
+    out = slerp_rotations(seq, mask)
+    # keyframes exact
+    np.testing.assert_allclose(out[[0, 4, 9]], seq[[0, 4, 9]], atol=1e-5)
+    eye = np.einsum("tjab,tjcb->tjac", out, out)
+    np.testing.assert_allclose(eye, np.broadcast_to(np.eye(3), eye.shape), atol=1e-5)
+
+    trans = np.cumsum(np.random.default_rng(0).normal(size=(10, 3)), axis=0).astype(np.float32)
+    lerp = lerp_root_trajectory(trans, mask)
+    np.testing.assert_allclose(lerp[[0, 4, 9]], trans[[0, 4, 9]], atol=1e-6)
+    np.testing.assert_allclose(lerp[2], trans[0] + (trans[4] - trans[0]) * 0.5, atol=1e-5)
+
+
+def test_metrics():
+    from hm_vae_tpu.apps.metrics import accel_error, mpjpe, pa_mpjpe
+    rng = np.random.default_rng(1)
+    gt = rng.normal(size=(4, 24, 3)).astype(np.float32)
+    assert float(mpjpe(jnp.asarray(gt), jnp.asarray(gt))) == 0.0
+    # PA-MPJPE invariant to rigid transform of pred
+    from scipy.spatial.transform import Rotation as R
+    Rm = R.random(random_state=0).as_matrix().astype(np.float32)
+    pred = gt @ Rm.T * 1.3 + np.array([1.0, 2.0, 3.0], np.float32)
+    v = float(pa_mpjpe(jnp.asarray(pred), jnp.asarray(gt)))
+    assert v < 1e-4, v
+    seq = rng.normal(size=(10, 24, 3)).astype(np.float32)
+    assert float(accel_error(jnp.asarray(seq), jnp.asarray(seq))) == 0.0
