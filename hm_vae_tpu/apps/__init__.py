@@ -1,1 +1,1 @@
-from . import baselines, latent_opt, metrics, tasks  # noqa: F401
+from . import baselines, inference, latent_opt, metrics, tasks  # noqa: F401

@@ -1,1 +1,1 @@
-from . import config  # noqa: F401
+from . import config, logging, viz  # noqa: F401
