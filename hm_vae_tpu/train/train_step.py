@@ -67,6 +67,30 @@ def make_train_step(
     return train_step
 
 
+def make_multi_step(model: HMVAE, cfg: Config, unroll: int = 1):
+    """K gradient steps per dispatch via an on-device ``lax.scan``.
+
+    The single-step pipeline is host-dispatch latency-bound at the reference's
+    batch size (8x64 frames is ~1.5 ms of compute on a v5e chip); scanning K
+    steps over a stacked (K, B, ...) super-batch amortises the launch to one
+    dispatch per K steps.  Metrics returned are from the *last* step.
+    """
+    step = make_train_step(model, cfg)
+
+    def multi_step(state: TrainState, batches, rng):
+        def body(st, xs):
+            b, i = xs
+            new_st, metrics = step(st, b, jax.random.fold_in(rng, i))
+            return new_st, metrics
+
+        K = jax.tree.leaves(batches)[0].shape[0]
+        state, metrics = jax.lax.scan(
+            body, state, (batches, jnp.arange(K)), unroll=unroll)
+        return state, jax.tree.map(lambda m: m[-1], metrics)
+
+    return multi_step
+
+
 def make_eval_step(model: HMVAE, cfg: Config):
     def eval_step(state: TrainState, batch, rng):
         _, metrics = hmvae_forward(

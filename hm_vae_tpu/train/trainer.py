@@ -112,11 +112,29 @@ class Trainer:
             _, metrics = self._loss_fn(state.params, batch, rng, state.step)
             return metrics
 
+        def multi_step(state: TrainState, batches, rng):
+            def body(st, xs):
+                b, k = xs
+                return train_step(st, b, jax.random.fold_in(rng, k))
+
+            K = jax.tree.leaves(batches)[0].shape[0]
+            state, ms = jax.lax.scan(
+                body, state, (batches, jnp.arange(K)))
+            return state, jax.tree.map(lambda m: m[-1], ms)
+
         bsh = sh.batch_sharding(self.mesh)
+        multi_bsh = jax.sharding.NamedSharding(
+            self.mesh, jax.sharding.PartitionSpec(None, "data"))
         rep = jax.sharding.NamedSharding(self.mesh, jax.sharding.PartitionSpec())
         self._step_fn = jax.jit(
             train_step,
             in_shardings=(self.shardings, bsh, rep),
+            out_shardings=(self.shardings, rep),
+            donate_argnums=(0,),
+        )
+        self._multi_fn = jax.jit(
+            multi_step,
+            in_shardings=(self.shardings, multi_bsh, rep),
             out_shardings=(self.shardings, rep),
             donate_argnums=(0,),
         )
@@ -176,22 +194,42 @@ class Trainer:
         bs = cfg.optim.batch_size
         rng = jax.random.PRNGKey(cfg.run.seed + 17)
 
+        K = max(1, cfg.run.steps_per_call)
         it = PrefetchIterator(train_ds.iter_batches(bs), depth=cfg.data.num_prefetch)
         metrics = {}
         start = int(self.state.step)
         try:
-            for i in range(start, max_iter):
-                batch = sh.device_put_batch(next(it), self.mesh)
-                self.state, metrics = self._step_fn(
-                    self.state, batch, jax.random.fold_in(rng, i))
+            i = start
+            while i < max_iter:
+                if K > 1 and i + K <= max_iter:
+                    bs_list = [next(it) for _ in range(K)]
+                    stacked = jax.tree.map(
+                        lambda *xs: np.stack(xs), *bs_list)
+                    multi_sh = jax.sharding.NamedSharding(
+                        self.mesh, jax.sharding.PartitionSpec(None, "data"))
+                    batch = jax.tree.map(
+                        lambda x: jax.device_put(x, multi_sh), stacked)
+                    self.state, metrics = self._multi_fn(
+                        self.state, batch, jax.random.fold_in(rng, i))
+                    i += K
+                else:
+                    batch = sh.device_put_batch(next(it), self.mesh)
+                    self.state, metrics = self._step_fn(
+                        self.state, batch, jax.random.fold_in(rng, i))
+                    i += 1
 
-                if (i + 1) % cfg.run.log_iter == 0:
+                # cadences fire when the counter crosses a multiple of the
+                # interval (a K-step dispatch may cross it mid-call)
+                def crossed(interval):
+                    return (i // interval) > ((i - (K if K > 1 else 1)) // interval)
+
+                if crossed(cfg.run.log_iter):
                     host = {k: float(v) for k, v in metrics.items()}
-                    self.writer.write(i + 1, host)
+                    self.writer.write(i, host)
                     if log_cb:
-                        log_cb(i + 1, host)
+                        log_cb(i, host)
 
-                if val_ds is not None and (i + 1) % cfg.run.validation_iter == 0:
+                if val_ds is not None and crossed(cfg.run.validation_iter):
                     vals = []
                     for vi in range(min(50, max(1, len(val_ds)))):
                         vb = sh.device_put_batch(val_ds.sample_batch(bs), self.mesh)
@@ -200,10 +238,10 @@ class Trainer:
                         vals.append({k: float(v) for k, v in vm.items()})
                     avg = {f"val_{k}": float(np.mean([v[k] for v in vals]))
                            for k in vals[0]}
-                    self.writer.write(i + 1, avg)
+                    self.writer.write(i, avg)
 
-                if (i + 1) % cfg.run.snapshot_save_iter == 0:
-                    self.save(i + 1)
+                if crossed(cfg.run.snapshot_save_iter):
+                    self.save(i)
         finally:
             it.close()
         return {k: float(v) for k, v in metrics.items()}

@@ -124,6 +124,9 @@ class RunConfig:
     image_save_iter: int = 20000
     snapshot_save_iter: int = 20000
     seed: int = 0
+    # gradient steps fused into one device dispatch (lax.scan); 1 = classic
+    # step-per-dispatch.  >1 amortises host latency (see train_step.make_multi_step)
+    steps_per_call: int = 1
 
 
 @dataclasses.dataclass(frozen=True)

@@ -31,8 +31,8 @@ def test_rot6d_to_rotmat_orthonormal_from_noise():
     np.testing.assert_allclose(eye, np.broadcast_to(np.eye(3), eye.shape), atol=1e-5)
     np.testing.assert_allclose(np.linalg.det(m), np.ones(32), atol=1e-5)
     # first column is the normalised first 3 numbers (reference convention)
-    x = np.asarray(six)[:, :3]
-    x /= np.linalg.norm(x, axis=-1, keepdims=True)
+    x = np.array(six)[:, :3]
+    x = x / np.linalg.norm(x, axis=-1, keepdims=True)
     np.testing.assert_allclose(m[:, :, 0], x, atol=1e-5)
 
 

@@ -115,3 +115,33 @@ def test_eval_step_runs():
     ev = jax.jit(make_eval_step(model, cfg))
     m = ev(state, synth_batch(jax.random.PRNGKey(4), 4, 8), jax.random.PRNGKey(5))
     assert np.isfinite(float(m["loss_total"]))
+
+
+def test_multi_step_matches_sequential():
+    """K scanned steps must produce the same state as K sequential steps."""
+    import jax.numpy as jnp
+    from hm_vae_tpu.train.train_step import make_multi_step
+
+    cfg = TINY
+    model = HMVAE(cfg.model)
+    K, B = 3, 4
+    batches = [synth_batch(jax.random.PRNGKey(50 + i), B, 8) for i in range(K)]
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *batches)
+    rng = jax.random.PRNGKey(7)
+
+    s1 = create_state(model, cfg, jax.random.PRNGKey(0))
+    step = jax.jit(make_train_step(model, cfg))
+    for i in range(K):
+        s1, m1 = step(s1, batches[i], jax.random.fold_in(rng, i))
+
+    s2 = create_state(model, cfg, jax.random.PRNGKey(0))
+    mstep = jax.jit(make_multi_step(model, cfg))
+    s2, m2 = mstep(s2, stacked, rng)
+
+    assert int(s2.step) == K
+    np.testing.assert_allclose(float(m1["loss_total"]),
+                               float(m2["loss_total"]), rtol=1e-5)
+    # scan-fused vs standalone compilation reassociates fp32 ops; allow
+    # tiny elementwise drift
+    for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-3)

@@ -66,3 +66,16 @@ def test_resume_with_explicit_missing_dir(tmp_path):
     cfg = tiny_cfg(str(tmp_path), max_iter=1)
     trainer, *_ = build_trainer(cfg, os.path.join(str(tmp_path), "run2"))
     assert trainer.resume() == 0  # no checkpoint yet -> step 0
+
+
+def test_fit_with_steps_per_call(tmp_path):
+    import dataclasses
+    from hm_vae_tpu.utils.config import RunConfig
+    tmp = str(tmp_path)
+    cfg = tiny_cfg(tmp, max_iter=8)
+    cfg = dataclasses.replace(cfg, run=dataclasses.replace(
+        cfg.run, steps_per_call=4))
+    trainer, train_ds, val_ds, _ = build_trainer(cfg, os.path.join(tmp, "runK"))
+    m = trainer.fit(train_ds, val_ds)
+    assert int(trainer.state.step) == 8
+    assert np.isfinite(m["loss_total"])
