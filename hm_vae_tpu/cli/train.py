@@ -55,7 +55,7 @@ def main(argv=None):
         print(f"[{step:08d}] {msg}", flush=True)
 
     metrics = trainer.fit(train_ds, val_ds, max_iter=args.max_iter,
-                          log_cb=log_cb)
+                          log_cb=log_cb, test_ds=test_ds)
     trainer.save()
     print("Finish Training", metrics)
 

@@ -180,12 +180,33 @@ class Trainer:
         self.resume(path)
 
     # ------------------------------------------------------------------
+    def _save_visualizations(self, test_ds, step: int, rng) -> None:
+        """GT vs mean-reconstruction vs prior-sample animations — the train
+        loop's periodic viz (train_motion_vae.py:113-150 + model.test,
+        seq_two_hier_sa_vae.py:560-639)."""
+        from ..apps.inference import VAEInference
+        from ..ops import fk as fk_mod
+        from ..utils.viz import save_animation
+
+        infer = VAEInference(self.model, self.state.params, self.cfg)
+        b = test_ds.sample_batch(1)
+        _, _, mean_pose = infer.mean_reconstruction(jnp.asarray(b["rot_6d"]))
+        _, _, samp_pose = infer.prior_samples(jax.random.fold_in(rng, step), 1)
+        gt_pose = fk_mod.fk_numpy(np.asarray(b["rot_mat"][0]))
+        dest = os.path.join(self.image_dir, str(step))
+        save_animation(np.stack([gt_pose, np.asarray(mean_pose[0])]),
+                       os.path.join(dest, "mean_seq_rot_6d.mp4"))
+        save_animation(np.asarray(samp_pose[0])[None],
+                       os.path.join(dest, "sampled_seq_rot_6d.mp4"))
+
+    # ------------------------------------------------------------------
     def fit(
         self,
         train_ds: MotionDataset,
         val_ds: Optional[MotionDataset] = None,
         max_iter: Optional[int] = None,
         log_cb=None,
+        test_ds: Optional[MotionDataset] = None,
     ) -> Dict[str, float]:
         cfg = self.cfg
         if self._step_fn is None:
@@ -242,6 +263,10 @@ class Trainer:
 
                 if crossed(cfg.run.snapshot_save_iter):
                     self.save(i)
+
+                if (test_ds is not None and not isinstance(self.model, TrajectoryModel)
+                        and crossed(cfg.run.image_save_iter)):
+                    self._save_visualizations(test_ds, i, rng)
         finally:
             it.close()
         return {k: float(v) for k, v in metrics.items()}

@@ -79,3 +79,16 @@ def test_fit_with_steps_per_call(tmp_path):
     m = trainer.fit(train_ds, val_ds)
     assert int(trainer.state.step) == 8
     assert np.isfinite(m["loss_total"])
+
+
+def test_image_save_visualization(tmp_path):
+    import dataclasses
+    import glob
+    tmp = str(tmp_path)
+    cfg = tiny_cfg(tmp, max_iter=3)
+    cfg = dataclasses.replace(cfg, run=dataclasses.replace(
+        cfg.run, image_save_iter=2))
+    trainer, train_ds, _, test_ds = build_trainer(cfg, os.path.join(tmp, "runV"))
+    trainer.fit(train_ds, None, test_ds=test_ds)
+    vids = glob.glob(os.path.join(tmp, "runV", "images", "*", "*"))
+    assert len(vids) >= 2, vids
