@@ -75,17 +75,47 @@ def init_z(key, cfg: Config, batch: int) -> List[jnp.ndarray]:
 
 
 def make_latent_optimizer(model: HMVAE, cfg: Config,
-                          lat: Optional[LatentOptConfig] = None):
+                          lat: Optional[LatentOptConfig] = None,
+                          trajectory: Optional[tuple] = None,
+                          key_frames: Optional[tuple] = None):
     """Build the jitted solver.
 
     Returns ``solve(dec_params, targets, mask, z_init, z_reg_target)`` where
       targets = dict(rot_6d (B,T,24,6), rot_mat (B,T,24,3,3), pose (B,T,24,3)),
       mask = (B, T, 24) visibility (1 = supervised),
       z_init / z_reg_target = z lists (batched).
+
+    With ``trajectory=(traj_model, traj_params, mean_std)`` and static
+    ``key_frames`` indices, a keyframe root-trajectory loss is added
+    (``optimize_trajectory``, ``seq_two_hier_sa_vae.py:1379-1391``): the
+    trajectory model runs on the decoded pose *inside* the optimization loop,
+    and relative root displacements between consecutive keyframes are pulled
+    toward the GT's (``cal_key_frame_root_loss``, ``:1031-1045``); ``targets``
+    then needs a ``root_trans`` (B, T, 3) entry.
     """
     lat = lat or cfg.latent_opt
     lcfg = cfg.loss
     offsets = fk_mod.default_offsets()
+
+    use_traj = trajectory is not None and lat.optimize_trajectory
+    if use_traj:
+        traj_model, traj_params, traj_ms = trajectory
+        from ..data import layout as _layout
+
+        _pos_mean = jnp.asarray(traj_ms[0][_layout.COORD]).reshape(24, 3)
+        _pos_std = jnp.asarray(traj_ms[1][_layout.COORD]).reshape(24, 3)
+        _rv_mean = jnp.asarray(traj_ms[0][_layout.ROOT_V])
+        _rv_std = jnp.asarray(traj_ms[1][_layout.ROOT_V])
+        _key = jnp.asarray(key_frames, jnp.int32)
+
+        def traj_loss(out_pose, gt_root_trans):
+            normalized = (out_pose - _pos_mean) / _pos_std
+            root_v_n = traj_model.apply(traj_params, normalized)  # (B,T,3)
+            root_v = _rv_mean + _rv_std * root_v_n
+            trans = jnp.cumsum(root_v.at[:, 0].set(0.0), axis=1)
+            rel_pred = jnp.diff(trans[:, _key], axis=1)
+            rel_gt = jnp.diff(gt_root_trans[:, _key], axis=1)
+            return jnp.mean((rel_pred - rel_gt) ** 2)
 
     z_tx = optax.chain(
         optax.add_decayed_weights(cfg.optim.weight_decay),
@@ -130,6 +160,9 @@ def make_latent_optimizer(model: HMVAE, cfg: Config,
         else:
             l_reg_dec = jnp.zeros(())
         total = (l_rec + lat.reg_w * l_reg + lat.reg_w_decoder * l_reg_dec)
+        if use_traj:
+            total = total + lat.reg_w_trajectory * traj_loss(
+                out[2], targets["root_trans"])
         return total, out
 
     def solve(dec_params, targets, mask, z_init, z_reg_target) -> LatentOptResult:

@@ -66,20 +66,33 @@ def completion_joint_mask(missing: str) -> np.ndarray:
 class LatentOptApps:
     """Bound (model, params) application runner."""
 
-    def __init__(self, model: HMVAE, params, cfg: Config):
+    def __init__(self, model: HMVAE, params, cfg: Config,
+                 trajectory: Optional[tuple] = None):
+        """trajectory: optional (traj_model, traj_params, mean_std) enabling
+        the in-loop keyframe trajectory loss for interpolation when
+        cfg.latent_opt.optimize_trajectory is set."""
         self.model = model
         self.params = params
         self.cfg = cfg
-        self.solve = make_latent_optimizer(model, cfg)
         self.W = cfg.model.train_seq_len
+        self.solve = make_latent_optimizer(model, cfg)
+        self._traj_solve = None
+        if trajectory is not None and cfg.latent_opt.optimize_trajectory:
+            key = tuple(np.nonzero(interpolation_mask(
+                self.W, cfg.latent_opt.interpolation_window))[0])
+            self._traj_solve = make_latent_optimizer(
+                model, cfg, trajectory=trajectory, key_frames=key)
 
     # ------------------------------------------------------------------
     def interpolate(self, rotmat_seq: jnp.ndarray, rng: jax.Array,
-                    replace_with_gt: Optional[bool] = None) -> Dict:
+                    replace_with_gt: Optional[bool] = None,
+                    root_trans: Optional[jnp.ndarray] = None) -> Dict:
         """Temporal interpolation of one long sequence.
 
         rotmat_seq: (T, 24, 3, 3).  Returns stitched (T', ...) outputs where
-        T' = num_windows * W.
+        T' = num_windows * W.  With ``root_trans`` (T, 3) and an
+        optimize_trajectory-enabled runner, the keyframe trajectory loss is
+        active.
         """
         lat = self.cfg.latent_opt
         W = self.W
@@ -95,8 +108,14 @@ class LatentOptApps:
 
         z_init = init_z(rng, self.cfg, n_win)
         z_reg = jax.tree.map(jnp.zeros_like, z_init)
-        res: LatentOptResult = self.solve(self.params, targets, mask,
-                                          z_init, z_reg)
+        if self._traj_solve is not None and root_trans is not None:
+            targets = dict(targets)
+            targets["root_trans"] = root_trans[: n_win * W].reshape(n_win, W, 3)
+            res: LatentOptResult = self._traj_solve(
+                self.params, targets, mask, z_init, z_reg)
+            targets.pop("root_trans")
+        else:
+            res = self.solve(self.params, targets, mask, z_init, z_reg)
 
         out6d, outrot, outpose = res.last_6d, res.last_rotmat, res.last_pose
         if replace_with_gt if replace_with_gt is not None else lat.replace_frame_with_gt:

@@ -146,3 +146,32 @@ def test_metrics():
     assert v < 1e-4, v
     seq = rng.normal(size=(10, 24, 3)).astype(np.float32)
     assert float(accel_error(jnp.asarray(seq), jnp.asarray(seq))) == 0.0
+
+
+def test_interpolation_with_trajectory_loss():
+    import dataclasses
+    from hm_vae_tpu.models.trajectory import TrajectoryModel
+    from hm_vae_tpu.utils.config import ModelConfig as MC
+
+    cfg = dataclasses.replace(
+        CFG, latent_opt=dataclasses.replace(
+            CFG.latent_opt, optimize_trajectory=True, reg_w_trajectory=1.0,
+            optimize_decoder=False, opt_it=10))
+    model, params = _model_and_params()
+
+    tcfg = MC(model_name="TrajectoryModel", latent_d=12, kernel_size=3,
+              train_seq_len=8, trajectory_input_joint_pos=True)
+    tmodel = TrajectoryModel(tcfg)
+    tparams = tmodel.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 24, 3)))
+    ms = np.stack([np.zeros(579), np.ones(579)]).astype(np.float32)
+
+    apps = LatentOptApps(model, params, cfg, trajectory=(tmodel, tparams, ms))
+    assert apps._traj_solve is not None
+    seq = _rand_rotmat_seq(jax.random.PRNGKey(3), 16)
+    trans = np.cumsum(
+        np.random.default_rng(0).normal(size=(16, 3)) * 0.01, axis=0
+    ).astype(np.float32)
+    out = apps.interpolate(seq, jax.random.PRNGKey(4),
+                           root_trans=jnp.asarray(trans))
+    assert out["rot_6d"].shape == (16, 24, 6)
+    assert np.isfinite(np.asarray(out["loss_history"])).all()
