@@ -70,7 +70,7 @@ class MotionDataset:
             for n in self.names
         ]
         self.mean = mean_std[0]
-        self.std = mean_std[1]
+        self.std = np.where(mean_std[1] == 0, 1.0, mean_std[1])
         self.train_seq_len = train_seq_len
         self.fps_aug = fps_aug
         self.random_root_rot = random_root_rot
@@ -258,4 +258,20 @@ def make_loaders(cfg: Config, data_dir: Optional[str] = None):
             random_root_rot=cfg.data.random_root_rot_flag, seed=seed,
         )
 
-    return mk("train", cfg.run.seed), mk("val", cfg.run.seed + 1), mk("test", cfg.run.seed + 2)
+    train = mk("train", cfg.run.seed)
+    # the native C++ sampler covers the no-root-rot-aug path (the common
+    # len-64 training config); the numpy path keeps full aug parity
+    if cfg.data.use_native_loader and not cfg.data.random_root_rot_flag:
+        try:
+            from .native_loader import NativeMotionLoader
+
+            native = NativeMotionLoader(
+                seq_dir, os.path.join(d, "train.json"), mean_std,
+                cfg.model.train_seq_len, fps_aug=cfg.data.fps_aug_flag,
+                seed=cfg.run.seed,
+            )
+            native.mean, native.std = train.mean, train.std
+            train = native
+        except Exception:
+            pass
+    return train, mk("val", cfg.run.seed + 1), mk("test", cfg.run.seed + 2)

@@ -135,6 +135,19 @@ def trajectory_losses(
     ``trajectory_pred_model.py:237-244``).  Trajectories are accumulated on
     *de-standardised* velocities, as the reference does inside
     ``gen_motion_w_trajectory`` (``:292-294``)."""
+    # compact-transfer path: joint positions are FK of the stored rotmats by
+    # construction (process_all_data_motion.py:138-143), so they can be
+    # derived on device from rot_mat alone
+    if "joint_pos" not in batch:
+        pose = fk_mod.fk_from_rotmat(batch["rot_mat"], fk_mod.default_offsets())
+        mean_c = jnp.asarray(mean_std[0][layout.COORD]).reshape(24, 3)
+        std_c = jnp.asarray(np.where(mean_std[1][layout.COORD] == 0, 1,
+                                     mean_std[1][layout.COORD])).reshape(24, 3)
+        batch = dict(batch)
+        batch["rot_pos"] = pose
+        batch["joint_pos"] = (pose - mean_c) / std_c
+        if "rot_6d" not in batch:
+            batch["rot_6d"] = rot.rotmat_to_rot6d(batch["rot_mat"])
     inputs = (
         batch["joint_pos"] if cfg.model.trajectory_input_joint_pos
         else batch["rot_6d"]

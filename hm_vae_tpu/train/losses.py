@@ -78,8 +78,13 @@ def hmvae_forward(
     Returns (total_loss, metrics) where metrics holds every logged scalar.
     """
     mcfg, lcfg = cfg.model, cfg.loss
-    rot6d_gt = batch["rot_6d"]
     rotmat_gt = batch["rot_mat"]
+    # compact-transfer path: the 6D rep is exactly the first two columns of
+    # the stored rotation matrices (utils/process_all_data_motion.py:136-137),
+    # so deriving it on device is lossless and saves host->device bandwidth
+    rot6d_gt = batch.get("rot_6d")
+    if rot6d_gt is None:
+        rot6d_gt = rot.rotmat_to_rot6d(rotmat_gt)
     B, T = rot6d_gt.shape[:2]
 
     # FK pose targets recomputed online from GT rotations and detached

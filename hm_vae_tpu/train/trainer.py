@@ -142,6 +142,14 @@ class Trainer:
             eval_step, in_shardings=(self.shardings, bsh, rep),
             out_shardings=rep,
         )
+        # host->device ingest as an explicit jitted copy: produces genuinely
+        # device-resident, compiler-laid-out arrays.  (Bare device_put /
+        # passthrough-jit arrays stay host-staged behind the TPU tunnel and
+        # are re-uploaded on EVERY executable launch — 50ms/call pathology.)
+        self._ingest_multi = jax.jit(
+            lambda t: jax.tree.map(jnp.copy, t), out_shardings=multi_bsh)
+        self._ingest_single = jax.jit(
+            lambda t: jax.tree.map(jnp.copy, t), out_shardings=bsh)
 
     # ------------------------------------------------------------------
     # checkpointing
@@ -216,27 +224,48 @@ class Trainer:
         rng = jax.random.PRNGKey(cfg.run.seed + 17)
 
         K = max(1, cfg.run.steps_per_call)
-        it = PrefetchIterator(train_ds.iter_batches(bs), depth=cfg.data.num_prefetch)
+        need_root_v = isinstance(self.model, TrajectoryModel)
+        compact = (cfg.data.compact_transfer
+                   and hasattr(train_ds, "iter_compact_superbatches"))
+        native_super = K > 1 and (
+            compact or hasattr(train_ds, "iter_superbatches"))
+        if native_super and compact:
+            it = train_ds.iter_compact_superbatches(
+                K, bs, need_root_v=need_root_v,
+                threads=cfg.data.native_threads)
+        elif native_super:
+            it = train_ds.iter_superbatches(
+                K, bs, threads=cfg.data.native_threads)
+        elif compact:
+            it = _compact_single_iter(train_ds, bs, need_root_v,
+                                      cfg.data.native_threads)
+        else:
+            it = PrefetchIterator(train_ds.iter_batches(bs),
+                                  depth=cfg.data.num_prefetch)
         metrics = {}
         start = int(self.state.step)
         try:
             i = start
             while i < max_iter:
+                # host arrays go straight into the jit: a one-shot implicit
+                # transfer per call (pre-device_put'ed arrays get re-staged
+                # across the TPU relay on EVERY executable launch — measured
+                # 50ms/call vs 1.4ms; see BASELINE.md)
                 if K > 1 and i + K <= max_iter:
-                    bs_list = [next(it) for _ in range(K)]
-                    stacked = jax.tree.map(
-                        lambda *xs: np.stack(xs), *bs_list)
-                    multi_sh = jax.sharding.NamedSharding(
-                        self.mesh, jax.sharding.PartitionSpec(None, "data"))
-                    batch = jax.tree.map(
-                        lambda x: jax.device_put(x, multi_sh), stacked)
+                    if native_super:
+                        stacked = next(it)
+                    else:
+                        bs_list = [next(it) for _ in range(K)]
+                        stacked = jax.tree.map(
+                            lambda *xs: np.stack(xs), *bs_list)
                     self.state, metrics = self._multi_fn(
-                        self.state, batch, jax.random.fold_in(rng, i))
+                        self.state, self._ingest_multi(stacked),
+                        jax.random.fold_in(rng, i))
                     i += K
                 else:
-                    batch = sh.device_put_batch(next(it), self.mesh)
                     self.state, metrics = self._step_fn(
-                        self.state, batch, jax.random.fold_in(rng, i))
+                        self.state, self._ingest_single(next(it)),
+                        jax.random.fold_in(rng, i))
                     i += 1
 
                 # cadences fire when the counter crosses a multiple of the
@@ -253,8 +282,7 @@ class Trainer:
                 if val_ds is not None and crossed(cfg.run.validation_iter):
                     vals = []
                     for vi in range(min(50, max(1, len(val_ds)))):
-                        vb = sh.device_put_batch(val_ds.sample_batch(bs), self.mesh)
-                        vm = self._eval_fn(self.state, vb,
+                        vm = self._eval_fn(self.state, val_ds.sample_batch(bs),
                                            jax.random.fold_in(rng, 10_000_000 + vi))
                         vals.append({k: float(v) for k, v in vm.items()})
                     avg = {f"val_{k}": float(np.mean([v[k] for v in vals]))
@@ -268,8 +296,14 @@ class Trainer:
                         and crossed(cfg.run.image_save_iter)):
                     self._save_visualizations(test_ds, i, rng)
         finally:
-            it.close()
+            if hasattr(it, "close"):
+                it.close()
         return {k: float(v) for k, v in metrics.items()}
+
+
+def _compact_single_iter(ds, bs, need_root_v, threads):
+    while True:
+        yield ds.sample_compact(bs, need_root_v, threads)
 
 
 def build_trainer(cfg: Config, output_dir: str) -> tuple:

@@ -112,6 +112,13 @@ class DataConfig:
     num_prefetch: int = 2
     synthetic: bool = False          # use the synthetic generator (no AMASS on disk)
     synthetic_num_seqs: int = 64
+    # native C++ window sampler for the train split (falls back to numpy when
+    # g++ is unavailable or random_root_rot_flag needs the numpy aug path)
+    use_native_loader: bool = True
+    native_threads: int = 8
+    # transfer only rot_mat (+ root_v for the trajectory model) to the device
+    # and derive 6D/FK fields on-device: 2.7x less host->device bandwidth
+    compact_transfer: bool = True
     missing_joint_prob: float = 0.0
 
 

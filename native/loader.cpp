@@ -1,0 +1,429 @@
+// Native batch sampler for 579-dim motion sequences.
+//
+// The TPU train step consumes ~165k seqs/sec at the reference batch size;
+// a Python/numpy per-window sampler becomes the bottleneck long before that.
+// This loader keeps all sequences memory-resident, samples windows with a
+// per-thread xorshift RNG, fuses z-normalisation into the copy, and runs a
+// configurable thread pool filling a bounded batch queue.
+//
+// Exposed as a plain C ABI consumed via ctypes (hm_vae_tpu/data/native_loader.py).
+// Scope notes: .npy parsing is deliberately minimal — float32, C-order,
+// 2-D (T, D) files, which is exactly what our converters write.
+//
+// Build: g++ -O3 -march=native -shared -fPIC -o libmotion_loader.so loader.cpp -lpthread
+
+#include <algorithm>
+#include <atomic>
+#include <condition_variable>
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <mutex>
+#include <queue>
+#include <random>
+#include <string>
+#include <thread>
+#include <vector>
+
+namespace {
+
+struct Sequence {
+  std::vector<float> data;  // T * dim
+  int64_t T = 0;
+  int64_t dim = 0;
+};
+
+struct Batch {
+  std::vector<float> raw;   // B * L * dim
+  std::vector<float> norm;  // B * L * dim
+};
+
+struct Loader {
+  std::vector<Sequence> seqs;
+  std::vector<float> mean, inv_std;
+  int64_t dim = 0;
+
+  // prefetch machinery
+  std::vector<std::thread> workers;
+  std::queue<Batch*> queue;
+  std::mutex mu;
+  std::condition_variable cv_push, cv_pop;
+  std::atomic<bool> stop{false};
+  int batch = 0, seq_len = 0, depth = 0;
+  bool fps_aug = false;
+  uint64_t seed = 0;
+  std::atomic<uint64_t> worker_id{0};
+};
+
+// minimal .npy reader: float32, C-order, 2-D
+bool read_npy(const char* path, Sequence* out) {
+  FILE* f = fopen(path, "rb");
+  if (!f) return false;
+  unsigned char magic[8];
+  if (fread(magic, 1, 8, f) != 8 || memcmp(magic, "\x93NUMPY", 6) != 0) {
+    fclose(f);
+    return false;
+  }
+  int major = magic[6];
+  uint32_t hlen = 0;
+  if (major == 1) {
+    unsigned char b[2];
+    if (fread(b, 1, 2, f) != 2) { fclose(f); return false; }
+    hlen = b[0] | (b[1] << 8);
+  } else {
+    unsigned char b[4];
+    if (fread(b, 1, 4, f) != 4) { fclose(f); return false; }
+    hlen = b[0] | (b[1] << 8) | (b[2] << 16) | (uint32_t(b[3]) << 24);
+  }
+  std::string header(hlen, '\0');
+  if (fread(&header[0], 1, hlen, f) != hlen) { fclose(f); return false; }
+  if (header.find("'<f4'") == std::string::npos ||
+      header.find("'fortran_order': False") == std::string::npos) {
+    fclose(f);
+    return false;
+  }
+  auto sp = header.find("'shape': (");
+  if (sp == std::string::npos) { fclose(f); return false; }
+  int64_t T = 0, dim = 0;
+  if (sscanf(header.c_str() + sp, "'shape': (%ld, %ld)", &T, &dim) != 2) {
+    fclose(f);
+    return false;
+  }
+  out->T = T;
+  out->dim = dim;
+  out->data.resize(size_t(T) * dim);
+  size_t n = fread(out->data.data(), sizeof(float), out->data.size(), f);
+  fclose(f);
+  return n == out->data.size();
+}
+
+struct XorShift {
+  uint64_t s;
+  explicit XorShift(uint64_t seed) : s(seed ? seed : 0x9e3779b97f4a7c15ull) {}
+  uint64_t next() {
+    s ^= s << 13;
+    s ^= s >> 7;
+    s ^= s << 17;
+    return s;
+  }
+  // unbiased-enough bounded draw for data sampling
+  int64_t below(int64_t n) { return int64_t(next() % uint64_t(n)); }
+};
+
+const int kFpsStrides[] = {1, 2, 3, 4, 5, 6, 8, 10, 12};
+
+// 579-dim frame layout offsets (hm_vae_tpu/data/layout.py)
+constexpr int64_t kRot6d = 0, kRotMat = 144, kCoord = 360, kLinV = 432,
+                  kAngV = 504, kRootV = 576, kDim = 579;
+
+struct FieldPtrs {
+  float* rot6d;      // raw
+  float* rotmat;     // raw
+  float* rotpos;     // raw
+  float* jointpos;   // normalised
+  float* linv;       // normalised
+  float* angv;       // normalised
+  float* rootv;      // normalised
+};
+
+// pick a window (same retry policy as fill_one) and write the 7 field
+// buffers directly — no second pass, no Python-side copies.  idx selects the
+// sample slot in each (B, T, ...) field buffer.
+void fill_one_fields(const Loader& L, XorShift& rng, int seq_len,
+                     bool fps_aug, const FieldPtrs& p, int64_t idx) {
+  float* rot6d = p.rot6d + idx * seq_len * 144;
+  float* rotmat = p.rotmat + idx * seq_len * 216;
+  float* rotpos = p.rotpos + idx * seq_len * 72;
+  float* jointpos = p.jointpos + idx * seq_len * 72;
+  float* linv = p.linv + idx * seq_len * 72;
+  float* angv = p.angv + idx * seq_len * 72;
+  float* rootv = p.rootv + idx * seq_len * 3;
+  for (int attempt = 0; attempt < 64; ++attempt) {
+    const Sequence& s = L.seqs[rng.below((int64_t)L.seqs.size())];
+    int stride = 1;
+    if (fps_aug) {
+      for (int t = 0; t < 10; ++t) {
+        int cand = kFpsStrides[rng.below(9)];
+        if ((s.T + cand - 1) / cand >= seq_len) {
+          stride = cand;
+          break;
+        }
+      }
+    }
+    int64_t eff_T = (s.T + stride - 1) / stride;
+    if (eff_T < seq_len) continue;
+    int64_t t0 = rng.below(eff_T - seq_len + 1);
+    const float* mean = L.mean.data();
+    const float* inv = L.inv_std.data();
+    for (int64_t i = 0; i < seq_len; ++i) {
+      const float* src = s.data.data() + (t0 + i) * stride * kDim;
+      memcpy(rot6d + i * 144, src + kRot6d, 144 * sizeof(float));
+      memcpy(rotmat + i * 216, src + kRotMat, 216 * sizeof(float));
+      memcpy(rotpos + i * 72, src + kCoord, 72 * sizeof(float));
+      float* jp = jointpos + i * 72;
+      float* lv = linv + i * 72;
+      float* av = angv + i * 72;
+      for (int d = 0; d < 72; ++d) {
+        jp[d] = (src[kCoord + d] - mean[kCoord + d]) * inv[kCoord + d];
+        lv[d] = (src[kLinV + d] - mean[kLinV + d]) * inv[kLinV + d];
+        av[d] = (src[kAngV + d] - mean[kAngV + d]) * inv[kAngV + d];
+      }
+      float* rv = rootv + i * 3;
+      for (int d = 0; d < 3; ++d)
+        rv[d] = (src[kRootV + d] - mean[kRootV + d]) * inv[kRootV + d];
+    }
+    return;
+  }
+}
+
+void fill_one(const Loader& L, XorShift& rng, int seq_len, bool fps_aug,
+              float* raw, float* norm) {
+  const int64_t dim = L.dim;
+  for (int attempt = 0; attempt < 64; ++attempt) {
+    const Sequence& s = L.seqs[rng.below((int64_t)L.seqs.size())];
+    int stride = 1;
+    if (fps_aug) {
+      // retry up to 10x for a stride that leaves enough frames
+      for (int t = 0; t < 10; ++t) {
+        int cand = kFpsStrides[rng.below(9)];
+        if ((s.T + cand - 1) / cand >= seq_len) {
+          stride = cand;
+          break;
+        }
+      }
+    }
+    int64_t eff_T = (s.T + stride - 1) / stride;
+    if (eff_T < seq_len) continue;
+    int64_t t0 = rng.below(eff_T - seq_len + 1);
+    for (int64_t i = 0; i < seq_len; ++i) {
+      const float* src = s.data.data() + (t0 + i) * stride * dim;
+      float* r = raw + i * dim;
+      float* n = norm + i * dim;
+      for (int64_t d = 0; d < dim; ++d) {
+        float v = src[d];
+        r[d] = v;
+        n[d] = (v - L.mean[d]) * L.inv_std[d];
+      }
+    }
+    return;
+  }
+  // pathological fallback: zero fill
+  memset(raw, 0, sizeof(float) * seq_len * dim);
+  memset(norm, 0, sizeof(float) * seq_len * dim);
+}
+
+void worker_loop(Loader* L) {
+  XorShift rng(L->seed + 0x1234567 * (1 + L->worker_id.fetch_add(1)));
+  const int64_t dim = L->dim;
+  while (!L->stop.load()) {
+    Batch* b = new Batch();
+    b->raw.resize(size_t(L->batch) * L->seq_len * dim);
+    b->norm.resize(size_t(L->batch) * L->seq_len * dim);
+    for (int i = 0; i < L->batch; ++i) {
+      fill_one(*L, rng, L->seq_len, L->fps_aug,
+               b->raw.data() + size_t(i) * L->seq_len * dim,
+               b->norm.data() + size_t(i) * L->seq_len * dim);
+    }
+    std::unique_lock<std::mutex> lk(L->mu);
+    L->cv_push.wait(lk, [L] {
+      return L->stop.load() || (int)L->queue.size() < L->depth;
+    });
+    if (L->stop.load()) {
+      delete b;
+      return;
+    }
+    L->queue.push(b);
+    L->cv_pop.notify_one();
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+void* ml_open(const char** paths, int n, const float* mean, const float* std,
+              int64_t dim) {
+  Loader* L = new Loader();
+  L->dim = dim;
+  L->mean.assign(mean, mean + dim);
+  L->inv_std.resize(dim);
+  for (int64_t d = 0; d < dim; ++d)
+    L->inv_std[d] = std[d] != 0.0f ? 1.0f / std[d] : 1.0f;
+  for (int i = 0; i < n; ++i) {
+    Sequence s;
+    if (!read_npy(paths[i], &s) || s.dim != dim) {
+      delete L;
+      return nullptr;
+    }
+    L->seqs.push_back(std::move(s));
+  }
+  if (L->seqs.empty()) {
+    delete L;
+    return nullptr;
+  }
+  return L;
+}
+
+int64_t ml_num_seqs(void* h) { return ((Loader*)h)->seqs.size(); }
+
+// synchronous batch (no threads) — used for tests and deterministic paths
+void ml_sample_batch(void* h, int batch, int seq_len, uint64_t seed,
+                     int fps_aug, float* out_raw, float* out_norm) {
+  Loader* L = (Loader*)h;
+  XorShift rng(seed);
+  for (int i = 0; i < batch; ++i) {
+    fill_one(*L, rng, seq_len, fps_aug != 0,
+             out_raw + size_t(i) * seq_len * L->dim,
+             out_norm + size_t(i) * seq_len * L->dim);
+  }
+}
+
+// one-shot multithreaded fill directly into caller buffers — the preferred
+// path for K-step super-batches (no queue, no extra copies)
+void ml_sample_batch_mt(void* h, int batch, int seq_len, uint64_t seed,
+                        int fps_aug, float* out_raw, float* out_norm,
+                        int threads) {
+  Loader* L = (Loader*)h;
+  if (threads <= 1 || batch < threads) {
+    ml_sample_batch(h, batch, seq_len, seed, fps_aug, out_raw, out_norm);
+    return;
+  }
+  std::vector<std::thread> ts;
+  int64_t per = (batch + threads - 1) / threads;
+  const int64_t item = int64_t(seq_len) * L->dim;
+  for (int t = 0; t < threads; ++t) {
+    int64_t lo = t * per, hi = std::min<int64_t>(batch, lo + per);
+    if (lo >= hi) break;
+    ts.emplace_back([=] {
+      XorShift rng(seed + 0x9e3779b9ull * (t + 1));
+      for (int64_t i = lo; i < hi; ++i) {
+        fill_one(*L, rng, seq_len, fps_aug != 0, out_raw + i * item,
+                 out_norm + i * item);
+      }
+    });
+  }
+  for (auto& th : ts) th.join();
+}
+
+// field-buffer variant: writes the training batch dict's buffers directly
+void ml_sample_fields_mt(void* h, int batch, int seq_len, uint64_t seed,
+                         int fps_aug, float* rot6d, float* rotmat,
+                         float* rotpos, float* jointpos, float* linv,
+                         float* angv, float* rootv, int threads) {
+  Loader* L = (Loader*)h;
+  FieldPtrs p{rot6d, rotmat, rotpos, jointpos, linv, angv, rootv};
+  if (threads <= 1 || batch < 2 * threads) {
+    XorShift rng(seed);
+    for (int i = 0; i < batch; ++i)
+      fill_one_fields(*L, rng, seq_len, fps_aug != 0, p, i);
+    return;
+  }
+  std::vector<std::thread> ts;
+  int64_t per = (batch + threads - 1) / threads;
+  for (int t = 0; t < threads; ++t) {
+    int64_t lo = t * per, hi = std::min<int64_t>(batch, lo + per);
+    if (lo >= hi) break;
+    ts.emplace_back([=] {
+      XorShift rng(seed + 0x9e3779b9ull * (t + 1));
+      for (int64_t i = lo; i < hi; ++i)
+        fill_one_fields(*L, rng, seq_len, fps_aug != 0, p, i);
+    });
+  }
+  for (auto& th : ts) th.join();
+}
+
+// compact variant: only rot_mat (+ optionally normalised root_v) — the
+// minimal host->device transfer for training (everything else derives on
+// device from the rotations)
+void ml_sample_compact_mt(void* h, int batch, int seq_len, uint64_t seed,
+                          int fps_aug, float* rotmat, float* rootv,
+                          int threads) {
+  Loader* L = (Loader*)h;
+  auto fill = [&](int64_t lo, int64_t hi, uint64_t s2) {
+    XorShift rng(s2);
+    const float* mean = L->mean.data();
+    const float* inv = L->inv_std.data();
+    for (int64_t idx = lo; idx < hi; ++idx) {
+      float* rm = rotmat + idx * seq_len * 216;
+      float* rv = rootv ? rootv + idx * seq_len * 3 : nullptr;
+      for (int attempt = 0; attempt < 64; ++attempt) {
+        const Sequence& s = L->seqs[rng.below((int64_t)L->seqs.size())];
+        int stride = 1;
+        if (fps_aug) {
+          for (int t = 0; t < 10; ++t) {
+            int cand = kFpsStrides[rng.below(9)];
+            if ((s.T + cand - 1) / cand >= seq_len) {
+              stride = cand;
+              break;
+            }
+          }
+        }
+        int64_t eff_T = (s.T + stride - 1) / stride;
+        if (eff_T < seq_len) continue;
+        int64_t t0 = rng.below(eff_T - seq_len + 1);
+        for (int64_t i = 0; i < seq_len; ++i) {
+          const float* src = s.data.data() + (t0 + i) * stride * kDim;
+          memcpy(rm + i * 216, src + kRotMat, 216 * sizeof(float));
+          if (rv) {
+            for (int d = 0; d < 3; ++d)
+              rv[i * 3 + d] =
+                  (src[kRootV + d] - mean[kRootV + d]) * inv[kRootV + d];
+          }
+        }
+        break;
+      }
+    }
+  };
+  if (threads <= 1 || batch < 2 * threads) {
+    fill(0, batch, seed);
+    return;
+  }
+  std::vector<std::thread> ts;
+  int64_t per = (batch + threads - 1) / threads;
+  for (int t = 0; t < threads; ++t) {
+    int64_t lo = t * per, hi = std::min<int64_t>(batch, lo + per);
+    if (lo >= hi) break;
+    ts.emplace_back(fill, lo, hi, seed + 0x9e3779b9ull * (t + 1));
+  }
+  for (auto& th : ts) th.join();
+}
+
+void ml_start_prefetch(void* h, int batch, int seq_len, int depth,
+                       int threads, uint64_t seed, int fps_aug) {
+  Loader* L = (Loader*)h;
+  L->batch = batch;
+  L->seq_len = seq_len;
+  L->depth = depth;
+  L->seed = seed;
+  L->fps_aug = fps_aug != 0;
+  L->stop.store(false);
+  for (int i = 0; i < threads; ++i)
+    L->workers.emplace_back(worker_loop, L);
+}
+
+// blocking pop; copies into caller buffers
+void ml_next_batch(void* h, float* out_raw, float* out_norm) {
+  Loader* L = (Loader*)h;
+  Batch* b = nullptr;
+  {
+    std::unique_lock<std::mutex> lk(L->mu);
+    L->cv_pop.wait(lk, [L] { return !L->queue.empty(); });
+    b = L->queue.front();
+    L->queue.pop();
+    L->cv_push.notify_one();
+  }
+  memcpy(out_raw, b->raw.data(), b->raw.size() * sizeof(float));
+  memcpy(out_norm, b->norm.data(), b->norm.size() * sizeof(float));
+  delete b;
+}
+
+void ml_close(void* h) {
+  Loader* L = (Loader*)h;
+  L->stop.store(true);
+  L->cv_push.notify_all();
+  L->cv_pop.notify_all();
+  for (auto& t : L->workers) t.join();
+  delete L;
+}
+
+}  // extern "C"
