@@ -162,13 +162,19 @@ class EvalMotionDataset:
 
     def __init__(self, seq_dir: str, index_json: str,
                  missing: str = "none", missing_joint_prob: float = 0.0,
-                 seed: int = 0):
+                 mask_dir: Optional[str] = None, seed: int = 0):
+        """``mask_dir``: optional folder of precomputed per-frame (T, 24) mask
+        npys named like the sequences (the reference's
+        ``all_amass_data_motion_noisy_data_for_eval/<prob>/`` layout,
+        ``utils_motion_vae.py:247,276-277``); otherwise ``missing='random'``
+        draws masks from ``missing_joint_prob`` with this instance's seed."""
         with open(index_json) as f:
             ids = json.load(f)
         self.names = [ids[k] for k in sorted(ids, key=int)]
         self.seq_dir = seq_dir
         self.missing = missing
         self.missing_joint_prob = missing_joint_prob
+        self.mask_dir = mask_dir
         self.rng = np.random.default_rng(seed)
 
     def __len__(self):
@@ -187,6 +193,10 @@ class EvalMotionDataset:
             mask[:, list(self.UPPER_JOINTS)] = 0.0
         elif self.missing == "lower":
             mask[:, list(self.LOWER_JOINTS)] = 0.0
+        elif self.mask_dir is not None:
+            mask = np.load(
+                os.path.join(self.mask_dir, self.names[i])
+            ).astype(np.float32)[:T]
         elif self.missing == "random":
             mask = (self.rng.random((T, 24)) >= self.missing_joint_prob
                     ).astype(np.float32)

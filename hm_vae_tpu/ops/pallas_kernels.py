@@ -45,7 +45,10 @@ def _fused_kernel(x_ref, w_ref, b_ref, pool_ref, dec_ref, out_ref, patch_ref,
     for k in range(K):
         patch_ref[k * C_in:(k + 1) * C_in, :] = jax.lax.slice(
             x_ref[0], (0, k), (C_in, k + L))
-    conv = jnp.dot(w_ref[:], patch_ref[:],
+    # bf16 operands (f32 accumulate): halves the weight panel's VMEM footprint
+    # — the deepest level's (672, 5040) panel would not fit in f32 — and the
+    # MXU multiplies f32 inputs at bf16 granularity by default anyway
+    conv = jnp.dot(w_ref[:], patch_ref[:].astype(jnp.bfloat16),
                    preferred_element_type=jnp.float32)  # (C_out, L)
     if stride > 1:
         conv = jnp.dot(conv, dec_ref[:],
@@ -85,6 +88,7 @@ def fused_conv_pool(
     P = pool_matrix.shape[0] if pool_matrix is not None else C_out
 
     w_flat = (weight * mask[:, :, None]).transpose(0, 2, 1).reshape(C_out, K * C_in)
+    w_flat = w_flat.astype(jnp.bfloat16)
     # weight layout must match patch layout: patch rows are (k, c_in) pairs
     # ordered k-major; transpose to (C_out, K, C_in) then flatten
     pool = pool_matrix if pool_matrix is not None else jnp.zeros((1, 1), x.dtype)

@@ -59,6 +59,21 @@ def rot6d_vibe_to_ours(poses: jnp.ndarray) -> jnp.ndarray:
     return jnp.swapaxes(three_two, -1, -2).reshape(poses.shape)
 
 
+def rot6d_to_rotmat_spin(x: jnp.ndarray) -> jnp.ndarray:
+    """SPIN/VIBE-convention 6D -> matrix (Gram-Schmidt on (3,2) columns).
+
+    Kept for cross-convention checks, mirroring ``rot6d_to_rotmat_spin`` /
+    VIBE's ``rot6d_to_rotmat`` (``my_tools.py:41-81``): input read as a (3, 2)
+    matrix, b2 orthogonalised against b1, b3 = b1 x b2.
+    """
+    m = x.reshape(x.shape[:-1] + (3, 2))
+    a1, a2 = m[..., 0], m[..., 1]
+    b1 = normalize(a1)
+    b2 = normalize(a2 - jnp.sum(b1 * a2, axis=-1, keepdims=True) * b1)
+    b3 = jnp.cross(b1, b2)
+    return jnp.stack((b1, b2, b3), axis=-1)
+
+
 def aa_to_rotmat(aa: jnp.ndarray, eps: float = 1e-8) -> jnp.ndarray:
     """Axis-angle (..., 3) -> rotation matrix (..., 3, 3) via Rodrigues.
 

@@ -71,6 +71,27 @@ def skeleton_conv(
     return out
 
 
+def skeleton_linear(
+    x: jnp.ndarray,
+    weight: jnp.ndarray,
+    bias: jnp.ndarray | None,
+    mask: jnp.ndarray,
+) -> jnp.ndarray:
+    """Masked dense layer over flattened per-edge features.
+
+    x: (B, n_edges, in_per_edge) or (B, C_in); weight: (C_out, C_in);
+    mask: (C_out, C_in) neighbourhood mask.  The reference's
+    ``SkeletonLinear`` (``skeleton.py:108-156``; used by its offset-encoding
+    path) as a pure function.
+    """
+    B = x.shape[0]
+    flat = x.reshape(B, -1)
+    out = flat @ (weight * mask).T
+    if bias is not None:
+        out = out + bias
+    return out
+
+
 def apply_channel_matrix(x: jnp.ndarray, matrix: jnp.ndarray) -> jnp.ndarray:
     """Apply a constant (C_out, C_in) matrix over the channel axis of (B, C_in, T).
 

@@ -112,3 +112,22 @@ def test_eval_dataset_masks(data_dir):
     # masked reps zeroed exactly where mask == 0
     assert (item["masked_6d"][m == 0] == 0).all()
     assert (item["masked_rot"][m == 0] == 0).all()
+
+
+def test_eval_dataset_precomputed_mask_dir(data_dir, tmp_path):
+    import json, os
+    with open(os.path.join(data_dir, "test.json")) as f:
+        names = list(json.load(f).values())
+    mask_dir = str(tmp_path / "masks")
+    os.makedirs(mask_dir)
+    rng = np.random.default_rng(0)
+    for n in names:
+        T = np.load(os.path.join(data_dir, "seqs", n)).shape[0]
+        np.save(os.path.join(mask_dir, n),
+                (rng.random((T, 24)) > 0.3).astype(np.float32))
+    ds = EvalMotionDataset(os.path.join(data_dir, "seqs"),
+                           os.path.join(data_dir, "test.json"),
+                           missing="random", mask_dir=mask_dir)
+    item = ds[0]
+    saved = np.load(os.path.join(mask_dir, item["name"]))
+    np.testing.assert_allclose(item["mask"], saved[:item["mask"].shape[0]])

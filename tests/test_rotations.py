@@ -87,3 +87,13 @@ def test_matches_torch_formulas():
 
     ours = np.asarray(rot.rot6d_to_rotmat(jnp.asarray(six)))
     np.testing.assert_allclose(ours, ref, atol=1e-6)
+
+
+def test_rot6d_spin_convention():
+    """SPIN layout roundtrip: our 6D converted to VIBE layout must decode to
+    the same matrix through the SPIN converter."""
+    mats = random_rotmats(10, seed=7)
+    six = rot.rotmat_to_rot6d(jnp.asarray(mats))
+    vibe = rot.rot6d_ours_to_vibe(six)
+    back = rot.rot6d_to_rotmat_spin(vibe)
+    np.testing.assert_allclose(np.asarray(back), mats, atol=1e-5)

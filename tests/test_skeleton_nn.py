@@ -88,3 +88,19 @@ def test_leaky_relu():
     np.testing.assert_allclose(
         np.asarray(snn.leaky_relu(x)), [-0.4, -0.1, 0.0, 1.0], atol=1e-7
     )
+
+
+def test_skeleton_linear_matches_torch():
+    torch = pytest.importorskip("torch")
+    rng = np.random.default_rng(5)
+    B, C_in, C_out = 3, 12, 8
+    x = rng.normal(size=(B, 4, 3)).astype(np.float32)  # 4 edges x 3 per edge
+    w = rng.normal(size=(C_out, C_in)).astype(np.float32)
+    b = rng.normal(size=(C_out,)).astype(np.float32)
+    mask = (rng.random((C_out, C_in)) > 0.4).astype(np.float32)
+    ours = np.asarray(snn.skeleton_linear(jnp.asarray(x), jnp.asarray(w),
+                                          jnp.asarray(b), jnp.asarray(mask)))
+    ref = torch.nn.functional.linear(
+        torch.from_numpy(x.reshape(B, -1)), torch.from_numpy(w * mask),
+        torch.from_numpy(b)).numpy()
+    np.testing.assert_allclose(ours, ref, atol=1e-5)
