@@ -14,7 +14,7 @@ Covers the reference's eval-time methods as pure batched functions:
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

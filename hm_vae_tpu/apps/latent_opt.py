@@ -25,9 +25,8 @@ Differences from the reference kept deliberately (cited):
 
 from __future__ import annotations
 
-import dataclasses
-import functools
-from typing import Dict, List, Optional, Tuple
+
+from typing import List, Optional
 
 import flax.struct
 import jax

@@ -36,9 +36,8 @@ def main(argv=None):
     from ..apps.baselines import slerp_rotations
     from ..apps.metrics import accel_error, mpjpe
     from ..apps.tasks import LatentOptApps, interpolation_mask
-    from ..data import layout
     from ..data.dataset import EvalMotionDataset
-    from ..models.trajectory import TrajectoryModel, TrajectoryRunner
+    from ..models.trajectory import TrajectoryRunner
     from ..ops import fk as fk_mod
     from ..train.trainer import Trainer, build_trainer
     from ..utils.config import load_config

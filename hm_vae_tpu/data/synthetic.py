@@ -17,7 +17,7 @@ from typing import List
 import numpy as np
 
 from ..ops import fk as fk_mod
-from ..ops.topology import SMPL24_PARENTS
+
 from . import layout
 
 

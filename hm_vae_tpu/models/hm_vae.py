@@ -38,7 +38,7 @@ import numpy as np
 
 from ..ops import skeleton_nn as snn
 from ..utils.config import ModelConfig
-from .structure import ConvSpec, HMVAEStructure, get_structure
+from .structure import ConvSpec, get_structure
 
 
 def _skeleton_conv_weight_init(spec: ConvSpec):

@@ -10,7 +10,6 @@ sharding the batch axis over a mesh (see :mod:`hm_vae_tpu.parallel.sharding`)
 
 from __future__ import annotations
 
-import functools
 from typing import Callable, Dict, Tuple
 
 import flax.struct

@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import dataclasses
 import logging
-from typing import Any, Dict, Tuple
+from typing import Any, Dict
 
 import yaml
 

@@ -12,7 +12,7 @@ stick figure instead and the mesh hook raises with a clear message.
 from __future__ import annotations
 
 import os
-from typing import Optional, Sequence
+from typing import Optional
 
 import numpy as np
 
