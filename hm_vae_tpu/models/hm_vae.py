@@ -77,7 +77,8 @@ _dense_kernel_init = nn.initializers.variance_scaling(2.0, "fan_in", "normal")
 class SkeletonConv(nn.Module):
     """Masked grouped-by-edge temporal conv over (B, C, T)."""
 
-    spec: ConvSpec
+    spec: ConvSpec = None
+    compute_dtype: str = "float32"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -90,7 +91,13 @@ class SkeletonConv(nn.Module):
             self.param("bias", _skeleton_conv_bias_init(s), (s.out_channels,))
             if s.bias else None
         )
-        mask = jnp.asarray(s.mask)
+        if self.compute_dtype == "bfloat16":
+            # mixed precision: f32 master params, bf16 conv compute — the conv
+            # weights dominate HBM traffic on this model
+            x = x.astype(jnp.bfloat16)
+            w = w.astype(jnp.bfloat16)
+            b = b.astype(jnp.bfloat16) if b is not None else None
+        mask = jnp.asarray(s.mask, w.dtype)
         return snn.skeleton_conv(
             x, w, b, mask, s.stride, s.padding, s.padding_mode
         )
@@ -110,9 +117,11 @@ class Encoder(nn.Module):
         st = get_structure(self.cfg)
         z_stats: List[jnp.ndarray] = []
         for i, lvl in enumerate(st.encoder_levels):
-            x = SkeletonConv(lvl.conv, name=f"conv_{i}")(x)
-            x = snn.apply_channel_matrix(x, jnp.asarray(lvl.pool_matrix))
+            x = SkeletonConv(lvl.conv, self.cfg.compute_dtype,
+                             name=f"conv_{i}")(x)
+            x = snn.apply_channel_matrix(x, jnp.asarray(lvl.pool_matrix, x.dtype))
             x = snn.leaky_relu(x, 0.2)
+            x = x.astype(jnp.float32)  # latent heads and stats stay f32
             B = x.shape[0]
             # (B, k_edges*cpe, T') -> (B, k_edges, cpe*T')
             per_edge = x.reshape(B, lvl.pooled_edges, -1)
@@ -164,8 +173,9 @@ class Decoder(nn.Module):
                 x = jnp.concatenate((a, b), axis=2).reshape(B, -1, T_i)
             if lvl.upsample:
                 x = snn.upsample_linear(x, 2)
-            x = snn.apply_channel_matrix(x, jnp.asarray(lvl.unpool_matrix))
-            x = SkeletonConv(lvl.conv, name=f"conv_{i}")(x)
+            x = snn.apply_channel_matrix(x, jnp.asarray(lvl.unpool_matrix, x.dtype))
+            x = SkeletonConv(lvl.conv, self.cfg.compute_dtype,
+                             name=f"conv_{i}")(x)
             if lvl.leaky:
                 x = snn.leaky_relu(x, 0.2)
         return x
@@ -197,7 +207,7 @@ class HMVAE(nn.Module):
 
     def decode(self, z_list: Sequence[jnp.ndarray]) -> jnp.ndarray:
         """z list (shallow->deep) -> 6D output (B, T, n_joints, output_dim)."""
-        out = self.decoder(z_list)  # (B, J*out_dim, T)
+        out = self.decoder(z_list).astype(jnp.float32)  # (B, J*out_dim, T)
         B = out.shape[0]
         T = out.shape[-1]
         return out.transpose(0, 2, 1).reshape(

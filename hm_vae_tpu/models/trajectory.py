@@ -43,10 +43,11 @@ class TrajectoryEncoder(nn.Module):
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         st = get_trajectory_structure(self.cfg)
         for i, lvl in enumerate(st.levels):
-            x = SkeletonConv(lvl.conv, name=f"conv_{i}")(x)
-            x = snn.apply_channel_matrix(x, jnp.asarray(lvl.pool_matrix))
+            x = SkeletonConv(lvl.conv, self.cfg.compute_dtype,
+                             name=f"conv_{i}")(x)
+            x = snn.apply_channel_matrix(x, jnp.asarray(lvl.pool_matrix, x.dtype))
             x = snn.leaky_relu(x, 0.2)
-        return x
+        return x.astype(jnp.float32)
 
 
 class TrajectoryModel(nn.Module):

@@ -42,6 +42,8 @@ class ModelConfig:
     train_seq_len: int = 64
     max_input_timesteps: int = 300
     # trajectory model only
+    # "float32" | "bfloat16" conv compute (f32 master params either way)
+    compute_dtype: str = "float32"
     trajectory_input_joint_pos: bool = True
     use_accumulation_root_v: bool = True
 

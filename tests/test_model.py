@@ -121,3 +121,21 @@ def test_prior_z_layout():
         (5, 14, 12), (5, 9, 24), (5, 7, 24), (5, 7, 24)]
     assert np.asarray(z[1]).max() == 0.0 and np.asarray(z[2]).max() == 0.0
     assert np.asarray(z[0]).std() > 0.5 and np.asarray(z[3]).std() > 0.5
+
+
+def test_bfloat16_compute_mode():
+    """bf16 conv compute with f32 master params: same function to ~1e-2."""
+    import dataclasses
+    cfg32 = LEN8
+    cfg16 = dataclasses.replace(LEN8, compute_dtype="bfloat16")
+    m32, m16 = HMVAE(cfg32), HMVAE(cfg16)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 8, 24, 6)) * 0.5
+    params = m32.init(jax.random.PRNGKey(0), x)
+    # same params work in both modes (f32 master weights)
+    _, z32 = m32.apply(params, x, method=HMVAE.encode)
+    _, z16 = m16.apply(params, x, method=HMVAE.encode)
+    for a, b in zip(z32, z16):
+        assert b.dtype == jnp.float32  # latent stats stay f32
+        scale = max(1.0, float(jnp.abs(a).max()))
+        np.testing.assert_allclose(np.asarray(a) / scale,
+                                   np.asarray(b) / scale, atol=2e-2)
