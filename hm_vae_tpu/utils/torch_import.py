@@ -1,0 +1,157 @@
+"""Import PyTorch reference checkpoints into hm_vae_tpu parameter trees.
+
+The reference saves ``{'state_dict': model.state_dict()}`` to ``gen_*.pt``
+(``trainer_motion_vae.py:119-127``).  This module maps those names/layouts to
+this framework's flax params so a user can bring reference-trained weights:
+
+- ``enc.layers.{i}.0.weight/bias``      -> ``encoder/conv_{i}`` (same layout)
+- ``enc.latent_enc_layers.{i}.weight``  -> ``encoder/latent_head_{i}/kernel``
+  (transposed: torch Linear stores (out, in), flax Dense (in, out))
+- ``dec.layers.{i}.{conv_idx}.weight``  -> ``decoder/conv_{i}`` where
+  ``conv_idx = 1 + upsample`` (the conv sits after the optional Upsample and
+  the Unpool inside the reference's Sequential)
+- ``dec.latent_dec_layers.{i}.weight``  -> ``decoder/latent_dec_{i}/kernel``
+- trajectory: ``enc.layers.{i}.0.*`` -> ``encoder/conv_{i}``,
+  ``fc_mapping.*`` -> ``fc_mapping``
+
+Constant buffers in the reference state dict (conv ``mask``, pool/unpool
+``weight``) are validated against this framework's derived constants when
+present — a config mismatch fails loudly instead of silently mis-loading.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Mapping
+
+import numpy as np
+
+from ..models.structure import get_structure, get_trajectory_structure
+from ..utils.config import ModelConfig
+
+
+def load_reference_checkpoint(path: str) -> Dict[str, np.ndarray]:
+    """Read a reference ``gen_*.pt`` into a flat name->numpy dict."""
+    import torch
+
+    blob = torch.load(path, map_location="cpu", weights_only=False)
+    sd = blob.get("state_dict", blob)
+    return {k: v.detach().cpu().numpy() if hasattr(v, "detach") else np.asarray(v)
+            for k, v in sd.items()}
+
+
+def _check_constant(sd: Mapping[str, np.ndarray], name: str, ours: np.ndarray):
+    if name in sd:
+        theirs = np.asarray(sd[name])
+        if theirs.shape != ours.shape or not np.allclose(theirs, ours, atol=1e-5):
+            raise ValueError(
+                f"checkpoint constant {name} does not match this config "
+                f"(shape {theirs.shape} vs {ours.shape}) — wrong architecture?")
+
+
+def import_hmvae_params(sd: Mapping[str, np.ndarray],
+                        cfg: ModelConfig) -> Dict:
+    """Reference TwoHierSAVAEModel state dict -> flax variables dict."""
+    st = get_structure(cfg)
+    nl = cfg.num_layers
+    enc: Dict[str, Dict[str, np.ndarray]] = {}
+    dec: Dict[str, Dict[str, np.ndarray]] = {}
+
+    for i in range(nl):
+        lvl = st.encoder_levels[i]
+        conv = {"weight": np.asarray(sd[f"enc.layers.{i}.0.weight"], np.float32)}
+        if lvl.conv.bias:
+            conv["bias"] = np.asarray(sd[f"enc.layers.{i}.0.bias"], np.float32)
+        _check_constant(sd, f"enc.layers.{i}.0.mask",
+                        np.broadcast_to(lvl.conv.mask[:, :, None],
+                                        conv["weight"].shape))
+        _check_constant(sd, f"enc.layers.{i}.1.weight", lvl.pool_matrix)
+        enc[f"conv_{i}"] = conv
+        enc[f"latent_head_{i}"] = {
+            "kernel": np.asarray(sd[f"enc.latent_enc_layers.{i}.weight"],
+                                 np.float32).T,
+            "bias": np.asarray(sd[f"enc.latent_enc_layers.{i}.bias"],
+                               np.float32),
+        }
+
+    for i in range(nl):
+        lvl = st.decoder_levels[i]
+        conv_idx = 1 + (1 if lvl.upsample else 0)
+        conv = {"weight": np.asarray(
+            sd[f"dec.layers.{i}.{conv_idx}.weight"], np.float32)}
+        if lvl.conv.bias:
+            conv["bias"] = np.asarray(
+                sd[f"dec.layers.{i}.{conv_idx}.bias"], np.float32)
+        _check_constant(sd, f"dec.unpools.{i}.weight", lvl.unpool_matrix)
+        dec[f"conv_{i}"] = conv
+        dec[f"latent_dec_{i}"] = {
+            "kernel": np.asarray(sd[f"dec.latent_dec_layers.{i}.weight"],
+                                 np.float32).T,
+            "bias": np.asarray(sd[f"dec.latent_dec_layers.{i}.bias"],
+                               np.float32),
+        }
+
+    return {"params": {"encoder": enc, "decoder": dec}}
+
+
+def export_hmvae_params(variables: Mapping, cfg: ModelConfig
+                        ) -> Dict[str, np.ndarray]:
+    """Inverse mapping: flax variables -> reference-style state dict.
+
+    Includes the constant mask/pool/unpool buffers so the emitted dict loads
+    into a reference-architecture torch model directly.
+    """
+    st = get_structure(cfg)
+    nl = cfg.num_layers
+    params = variables["params"]
+    sd: Dict[str, np.ndarray] = {}
+    for i in range(nl):
+        lvl = st.encoder_levels[i]
+        conv = params["encoder"][f"conv_{i}"]
+        w = np.asarray(conv["weight"], np.float32)
+        sd[f"enc.layers.{i}.0.weight"] = w
+        if "bias" in conv:
+            sd[f"enc.layers.{i}.0.bias"] = np.asarray(conv["bias"], np.float32)
+        sd[f"enc.layers.{i}.0.mask"] = np.broadcast_to(
+            lvl.conv.mask[:, :, None], w.shape).astype(np.float32)
+        sd[f"enc.layers.{i}.1.weight"] = lvl.pool_matrix
+        head = params["encoder"][f"latent_head_{i}"]
+        sd[f"enc.latent_enc_layers.{i}.weight"] = np.asarray(
+            head["kernel"], np.float32).T
+        sd[f"enc.latent_enc_layers.{i}.bias"] = np.asarray(
+            head["bias"], np.float32)
+    for i in range(nl):
+        lvl = st.decoder_levels[i]
+        conv_idx = 1 + (1 if lvl.upsample else 0)
+        conv = params["decoder"][f"conv_{i}"]
+        sd[f"dec.layers.{i}.{conv_idx}.weight"] = np.asarray(
+            conv["weight"], np.float32)
+        if "bias" in conv:
+            sd[f"dec.layers.{i}.{conv_idx}.bias"] = np.asarray(
+                conv["bias"], np.float32)
+        sd[f"dec.unpools.{i}.weight"] = lvl.unpool_matrix
+        sd[f"dec.layers.{i}.{conv_idx - 1}.weight"] = lvl.unpool_matrix
+        head = params["decoder"][f"latent_dec_{i}"]
+        sd[f"dec.latent_dec_layers.{i}.weight"] = np.asarray(
+            head["kernel"], np.float32).T
+        sd[f"dec.latent_dec_layers.{i}.bias"] = np.asarray(
+            head["bias"], np.float32)
+    return sd
+
+
+def import_trajectory_params(sd: Mapping[str, np.ndarray],
+                             cfg: ModelConfig) -> Dict:
+    """Reference TrajectoryModel state dict -> flax variables dict."""
+    st = get_trajectory_structure(cfg)
+    enc: Dict[str, Dict[str, np.ndarray]] = {}
+    for i, lvl in enumerate(st.levels):
+        conv = {"weight": np.asarray(sd[f"enc.layers.{i}.0.weight"], np.float32),
+                "bias": np.asarray(sd[f"enc.layers.{i}.0.bias"], np.float32)}
+        _check_constant(sd, f"enc.layers.{i}.1.weight", lvl.pool_matrix)
+        enc[f"conv_{i}"] = conv
+    return {"params": {
+        "encoder": enc,
+        "fc_mapping": {
+            "kernel": np.asarray(sd["fc_mapping.weight"], np.float32).T,
+            "bias": np.asarray(sd["fc_mapping.bias"], np.float32),
+        },
+    }}
