@@ -142,3 +142,75 @@ def test_full_model_matches_oracle_len64_shapes():
     out_ref = torch_decoder(params, st, cfg, z_torch)
     out_ref = out_ref.permute(0, 2, 1).reshape(B, T, 24, 6)
     np.testing.assert_allclose(np.asarray(out), out_ref.numpy(), atol=5e-3)
+
+
+def test_end_to_end_loss_parity():
+    """Full training-loss value parity: hmvae_forward (sample=False) vs the
+    same computation done entirely in torch (oracle encoder/decoder + loop FK
+    + reference loss weights).  This is SURVEY §4(f)'s 'end-to-end loss parity
+    on the tiny CPU-runnable config'."""
+    from hm_vae_tpu.train.losses import hmvae_forward
+    from hm_vae_tpu.utils.config import Config, LossConfig
+    from hm_vae_tpu.ops import fk as fk_mod
+    from hm_vae_tpu.ops import rotations as jrot
+    from scipy.spatial.transform import Rotation as R
+
+    cfg = Config(
+        model=CFG,
+        loss=LossConfig(rec_6d_w=1.0, rec_rot_w=1.0, rec_pose_w=10.0,
+                        kl_w=0.003, shallow_kl_w=0.003, iteration_interval=0),
+    )
+    st = get_structure(cfg.model)
+    model = HMVAE(cfg.model)
+    B, T = 2, 8
+    rng = np.random.default_rng(3)
+    mats = R.random(B * T * 24, random_state=3).as_matrix().reshape(
+        B, T, 24, 3, 3).astype(np.float32)
+    six = np.concatenate((mats[..., :, 0], mats[..., :, 1]), axis=-1)
+    batch = {"rot_6d": jnp.asarray(six), "rot_mat": jnp.asarray(mats)}
+    variables = model.init(jax.random.PRNGKey(0), batch["rot_6d"])
+
+    total, metrics = hmvae_forward(
+        model, variables, batch, jax.random.PRNGKey(1),
+        jnp.asarray(100, jnp.int32), cfg, sample=False)
+
+    # ---- the same computation in torch ----
+    params = jax.tree.map(np.asarray, variables["params"])
+    xt = torch.from_numpy(six.reshape(B, T, -1).transpose(0, 2, 1).copy())
+    _, z_stats = torch_encoder(params, st, xt)
+    mus, kls = [], []
+    for i, zs in enumerate(z_stats):
+        d = cfg.model.shallow_latent_d if i == 0 else cfg.model.latent_d
+        mu, logvar = zs[..., :d], zs[..., d:]
+        mus.append(mu)
+        kl = (-0.5 * (1 + logvar - mu**2 - logvar.exp()).sum(-1)).mean()
+        kls.append(kl)
+    out = torch_decoder(params, st, cfg.model, mus)
+    out6 = out.permute(0, 2, 1).reshape(B, T, 24, 6)
+    # torch 6d->rotmat (reference formula) and loop FK
+    x = F.normalize(out6[..., :3], dim=-1, eps=1e-6)
+    z = F.normalize(torch.cross(x, out6[..., 3:], dim=-1), dim=-1, eps=1e-6)
+    y = torch.cross(z, x, dim=-1)
+    outmat = torch.stack((x, y, z), dim=-1)
+
+    from tests.test_fk import numpy_fk_oracle
+    from hm_vae_tpu.ops.topology import SMPL24_PARENTS
+
+    offsets = fk_mod.default_offsets()
+    pose_pred = numpy_fk_oracle(outmat.detach().numpy().reshape(-1, 24, 3, 3),
+                                offsets, SMPL24_PARENTS)
+    pose_gt = numpy_fk_oracle(mats.reshape(-1, 24, 3, 3), offsets,
+                              SMPL24_PARENTS)
+
+    l6 = ((out6.detach().numpy() - six) ** 2).mean()
+    lr = ((outmat.detach().numpy() - mats) ** 2).mean()
+    lp = ((pose_pred - pose_gt) ** 2).mean()
+    ref_total = (1.0 * l6 + 1.0 * lr + 10.0 * lp
+                 + 0.003 * float(kls[3]) + 0.003 * float(kls[0]))
+
+    assert abs(float(total) - ref_total) < 2e-3 * max(1.0, abs(ref_total)), (
+        float(total), ref_total)
+    np.testing.assert_allclose(float(metrics["loss_rec_6d"]), l6, rtol=1e-3)
+    np.testing.assert_allclose(float(metrics["loss_rec_pose"]), lp, rtol=2e-3)
+    np.testing.assert_allclose(float(metrics["loss_hier_kl_4"]), float(kls[3]),
+                               rtol=1e-3)
