@@ -262,6 +262,17 @@ class Trainer:
                         self.state, self._ingest_multi(stacked),
                         jax.random.fold_in(rng, i))
                     i += K
+                elif native_super:
+                    # tail: fewer than K steps remain but the iterator yields
+                    # (K, B, ...) superbatches — consume single rows
+                    sb = next(it)
+                    rem = max_iter - i
+                    for j in range(rem):
+                        row = jax.tree.map(lambda x: x[j], sb)
+                        self.state, metrics = self._step_fn(
+                            self.state, self._ingest_single(row),
+                            jax.random.fold_in(rng, i))
+                        i += 1
                 else:
                     self.state, metrics = self._step_fn(
                         self.state, self._ingest_single(next(it)),

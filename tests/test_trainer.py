@@ -92,3 +92,16 @@ def test_image_save_visualization(tmp_path):
     trainer.fit(train_ds, None, test_ds=test_ds)
     vids = glob.glob(os.path.join(tmp, "runV", "images", "*", "*"))
     assert len(vids) >= 2, vids
+
+
+def test_fit_steps_per_call_nondivisible_tail(tmp_path):
+    """max_iter not divisible by steps_per_call must finish exactly."""
+    import dataclasses
+    tmp = str(tmp_path)
+    cfg = tiny_cfg(tmp, max_iter=10)
+    cfg = dataclasses.replace(cfg, run=dataclasses.replace(
+        cfg.run, steps_per_call=4))
+    trainer, train_ds, _, _ = build_trainer(cfg, os.path.join(tmp, "runTail"))
+    m = trainer.fit(train_ds, None)
+    assert int(trainer.state.step) == 10
+    assert np.isfinite(m["loss_total"])
