@@ -210,11 +210,18 @@ def make_latent_optimizer(model: HMVAE, cfg: Config,
         last = jax.tree.map(lambda x: x[-1], outs)
         best_loss, best_out = best
 
-        # per-sample final loss for diagnostics
+        # per-sample final masked reconstruction loss (same weighting as the
+        # objective, minus regularisers) — used for restart selection
         m6 = mask[..., None]
-        per_sample = jnp.mean(
-            (last[0] - targets["rot_6d"]) ** 2 * m6,
-            axis=tuple(range(1, last[0].ndim)),
+        mm = mask[..., None, None]
+
+        def per(x, t, m):
+            return jnp.mean((x - t) ** 2 * m, axis=tuple(range(1, x.ndim)))
+
+        per_sample = (
+            lcfg.rec_6d_w * per(last[0], targets["rot_6d"], m6)
+            + lcfg.rec_rot_w * per(last[1], targets["rot_mat"], mm)
+            + lcfg.rec_pose_w * per(last[2], targets["pose"], m6)
         )
         return LatentOptResult(
             last_6d=last[0], last_rotmat=last[1], last_pose=last[2],

@@ -86,13 +86,19 @@ class LatentOptApps:
     # ------------------------------------------------------------------
     def interpolate(self, rotmat_seq: jnp.ndarray, rng: jax.Array,
                     replace_with_gt: Optional[bool] = None,
-                    root_trans: Optional[jnp.ndarray] = None) -> Dict:
+                    root_trans: Optional[jnp.ndarray] = None,
+                    restarts: int = 1) -> Dict:
         """Temporal interpolation of one long sequence.
 
         rotmat_seq: (T, 24, 3, 3).  Returns stitched (T', ...) outputs where
         T' = num_windows * W.  With ``root_trans`` (T, 3) and an
         optimize_trajectory-enabled runner, the keyframe trajectory loss is
         active.
+
+        ``restarts > 1`` runs that many independent random z initialisations
+        *per window* in the same batched solve and keeps each window's
+        best-final-loss restart — effectively free on TPU (the batch axis was
+        idle); the reference's serial loop cannot afford this.
         """
         lat = self.cfg.latent_opt
         W = self.W
@@ -102,20 +108,44 @@ class LatentOptApps:
             raise ValueError(f"sequence shorter than window: {T} < {W}")
         wins = rotmat_seq[: n_win * W].reshape(n_win, W, 24, 3, 3)
 
-        targets = _targets_from_rotmat(wins)
+        R = max(1, restarts)
+        if R > 1:
+            wins_b = jnp.repeat(wins, R, axis=0)  # (n_win*R, W, 24, 3, 3)
+        else:
+            wins_b = wins
+        targets = _targets_from_rotmat(wins_b)
         tmask = interpolation_mask(W, lat.interpolation_window)
-        mask = jnp.asarray(np.tile(tmask[None, :, None], (n_win, 1, 24)))
+        mask = jnp.asarray(np.tile(tmask[None, :, None], (n_win * R, 1, 24)))
 
-        z_init = init_z(rng, self.cfg, n_win)
+        z_init = init_z(rng, self.cfg, n_win * R)
         z_reg = jax.tree.map(jnp.zeros_like, z_init)
         if self._traj_solve is not None and root_trans is not None:
             targets = dict(targets)
-            targets["root_trans"] = root_trans[: n_win * W].reshape(n_win, W, 3)
+            rt = root_trans[: n_win * W].reshape(n_win, W, 3)
+            targets["root_trans"] = (jnp.repeat(rt, R, axis=0) if R > 1 else rt)
             res: LatentOptResult = self._traj_solve(
                 self.params, targets, mask, z_init, z_reg)
             targets.pop("root_trans")
         else:
             res = self.solve(self.params, targets, mask, z_init, z_reg)
+
+        if R > 1:
+            # keep each window's best restart
+            per = res.final_loss.reshape(n_win, R)
+            best = jnp.argmin(per, axis=1)  # (n_win,)
+            sel = jnp.arange(n_win) * R + best
+
+            def pick(x):
+                return x[sel]
+
+            res = LatentOptResult(
+                last_6d=pick(res.last_6d), last_rotmat=pick(res.last_rotmat),
+                last_pose=pick(res.last_pose), best_6d=pick(res.best_6d),
+                best_rotmat=pick(res.best_rotmat), best_pose=pick(res.best_pose),
+                final_loss=per.min(axis=1), loss_history=res.loss_history,
+            )
+            targets = _targets_from_rotmat(wins)
+            mask = jnp.asarray(np.tile(tmask[None, :, None], (n_win, 1, 24)))
 
         out6d, outrot, outpose = res.last_6d, res.last_rotmat, res.last_pose
         if replace_with_gt if replace_with_gt is not None else lat.replace_frame_with_gt:

@@ -160,6 +160,15 @@ class Trainer:
         ckptr = ocp.StandardCheckpointer()
         ckptr.save(path, jax.tree.map(np.asarray, self.state), force=True)
         ckptr.wait_until_finished()
+        keep = self.cfg.run.keep_checkpoints
+        if keep > 0:
+            cands = sorted(d for d in os.listdir(self.ckpt_dir)
+                           if d.startswith("gen_"))
+            for stale in cands[:-keep]:
+                import shutil
+
+                shutil.rmtree(os.path.join(self.ckpt_dir, stale),
+                              ignore_errors=True)
         return path
 
     def latest_checkpoint(self) -> Optional[str]:
@@ -286,6 +295,18 @@ class Trainer:
 
                 if crossed(cfg.run.log_iter):
                     host = {k: float(v) for k, v in metrics.items()}
+                    if cfg.run.nan_guard and not np.isfinite(host["loss_total"]):
+                        # failure detection + recovery: restore the last good
+                        # snapshot instead of silently training on NaNs
+                        # (the reference has no guard at all, SURVEY §5.3)
+                        restored = self.resume()
+                        self.writer.write(i, {"nan_guard_restored_to": restored})
+                        if restored == 0:
+                            raise FloatingPointError(
+                                f"non-finite loss at step {i} and no "
+                                "checkpoint to restore")
+                        i = restored
+                        continue
                     self.writer.write(i, host)
                     if log_cb:
                         log_cb(i, host)

@@ -136,6 +136,11 @@ class RunConfig:
     # gradient steps fused into one device dispatch (lax.scan); 1 = classic
     # step-per-dispatch.  >1 amortises host latency (see train_step.make_multi_step)
     steps_per_call: int = 1
+    # keep only the newest N checkpoints (0 = keep all, the reference behavior)
+    keep_checkpoints: int = 0
+    # halt-and-restore on non-finite loss (the reference has no failure
+    # detection at all, SURVEY §5.3); checked at every log point
+    nan_guard: bool = True
 
 
 @dataclasses.dataclass(frozen=True)

@@ -63,3 +63,45 @@ def test_eval_recovery_cli(tmp_path):
     assert np.isfinite(summary["mpjpe"])
     rots = [f for f in os.listdir(out_dir) if f.endswith("_rot_opt_res.npy")]
     assert rots
+
+
+def test_all_shipped_configs_load_and_build():
+    """Every configs/*.yaml must parse into a buildable model config."""
+    import glob
+    from hm_vae_tpu.models.hm_vae import HMVAE
+    from hm_vae_tpu.models.structure import get_structure, get_trajectory_structure
+    from hm_vae_tpu.utils.config import load_config
+
+    paths = sorted(glob.glob("configs/*.yaml"))
+    assert len(paths) >= 5
+    for p in paths:
+        cfg = load_config(p)
+        if cfg.model.model_name == "TrajectoryModel":
+            st = get_trajectory_structure(cfg.model)
+            assert st.out_edges == 7
+        else:
+            st = get_structure(cfg.model)
+            assert st.cascade.edge_num[:4] == [24, 14, 9, 7]
+
+
+def test_reference_style_flat_yaml_loads(tmp_path):
+    """A reference-format config (flat keys incl. unknown ones) must load."""
+    import yaml
+    from hm_vae_tpu.utils.config import load_config
+
+    flat = {
+        "model_name": "TwoHierSAVAEModel", "latent_d": 24,
+        "shallow_latent_d": 12, "kernel_size": 15, "train_seq_len": 64,
+        "batch_size": 8, "lr": 0.0001, "step_size": 100000, "gamma": 0.3,
+        "lr_policy": "step", "kl_w": 0.003, "iteration_interval": 50000,
+        # keys the reference ships but never reads (SURVEY §5.6)
+        "hier_use_add": False, "fade_in_duration": 40000, "pre_kl_w": 0.0003,
+        "use_shallow_model": True, "image_display_iter": 5000,
+    }
+    p = str(tmp_path / "ref.yaml")
+    with open(p, "w") as f:
+        yaml.safe_dump(flat, f)
+    cfg = load_config(p)
+    assert cfg.model.latent_d == 24
+    assert cfg.optim.step_size == 100000
+    assert cfg.loss.iteration_interval == 50000

@@ -175,3 +175,36 @@ def test_interpolation_with_trajectory_loss():
                            root_trans=jnp.asarray(trans))
     assert out["rot_6d"].shape == (16, 24, 6)
     assert np.isfinite(np.asarray(out["loss_history"])).all()
+
+
+def test_interpolation_multi_restart():
+    model, params = _model_and_params()
+    apps = LatentOptApps(model, params, CFG)
+    seq = _rand_rotmat_seq(jax.random.PRNGKey(11), 16)  # 2 windows
+    out1 = apps.interpolate(seq, jax.random.PRNGKey(12), restarts=1)
+    out3 = apps.interpolate(seq, jax.random.PRNGKey(12), restarts=3)
+    assert out3["rot_6d"].shape == out1["rot_6d"].shape == (16, 24, 6)
+    # best-of-3 restart final loss <= single restart's (same first init seed
+    # is not guaranteed, so compare against the worst case: finiteness + shape)
+    assert np.isfinite(np.asarray(out3["rot_6d"])).all()
+
+
+def test_final_loss_selection_consistency():
+    """final_loss must rank restarts consistently with the masked objective."""
+    from hm_vae_tpu.apps.tasks import _targets_from_rotmat
+    from hm_vae_tpu.apps.latent_opt import make_latent_optimizer, init_z
+    model, params = _model_and_params()
+    solve = make_latent_optimizer(model, CFG)
+    mats = _rand_rotmat_seq(jax.random.PRNGKey(13), 8)[None]
+    targets = _targets_from_rotmat(jnp.concatenate([mats, mats], 0))
+    mask = jnp.ones((2, 8, 24))
+    z = init_z(jax.random.PRNGKey(14), CFG, 2)
+    zr = jax.tree.map(jnp.zeros_like, z)
+    res = solve(params, targets, mask, z, zr)
+    # recompute the weighted masked loss by hand for sample 0
+    l = 0.0
+    for w, field, out in ((1.0, "rot_6d", res.last_6d),
+                          (1.0, "rot_mat", res.last_rotmat),
+                          (10.0, "pose", res.last_pose)):
+        l += w * float(jnp.mean((out[0] - targets[field][0]) ** 2))
+    np.testing.assert_allclose(float(res.final_loss[0]), l, rtol=1e-4)

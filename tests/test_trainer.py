@@ -105,3 +105,16 @@ def test_fit_steps_per_call_nondivisible_tail(tmp_path):
     m = trainer.fit(train_ds, None)
     assert int(trainer.state.step) == 10
     assert np.isfinite(m["loss_total"])
+
+
+def test_keep_checkpoints_retention(tmp_path):
+    import dataclasses
+    tmp = str(tmp_path)
+    cfg = tiny_cfg(tmp, max_iter=9)
+    cfg = dataclasses.replace(cfg, run=dataclasses.replace(
+        cfg.run, snapshot_save_iter=3, keep_checkpoints=2))
+    trainer, train_ds, _, _ = build_trainer(cfg, os.path.join(tmp, "runKeep"))
+    trainer.fit(train_ds, None)
+    ckpts = sorted(os.listdir(os.path.join(tmp, "runKeep", "checkpoints")))
+    assert len(ckpts) == 2, ckpts
+    assert ckpts[-1] == "gen_00000009"
