@@ -39,6 +39,17 @@ def pa_mpjpe(pred: jnp.ndarray, gt: jnp.ndarray) -> jnp.ndarray:
     return jnp.mean(jnp.linalg.norm(aligned - gt, axis=-1))
 
 
+def trajectory_ade(pred_trans: jnp.ndarray, gt_trans: jnp.ndarray) -> jnp.ndarray:
+    """Average displacement error of (..., T, 3) root trajectories."""
+    return jnp.mean(jnp.linalg.norm(pred_trans - gt_trans, axis=-1))
+
+
+def trajectory_fde(pred_trans: jnp.ndarray, gt_trans: jnp.ndarray) -> jnp.ndarray:
+    """Final displacement error: distance at the last timestep."""
+    return jnp.mean(
+        jnp.linalg.norm(pred_trans[..., -1, :] - gt_trans[..., -1, :], axis=-1))
+
+
 def accel(joints: jnp.ndarray) -> jnp.ndarray:
     """Mean acceleration magnitude of (T, J, 3) joints (VIBE compute_accel)."""
     a = joints[2:] - 2 * joints[1:-1] + joints[:-2]

@@ -105,3 +105,35 @@ def test_reference_style_flat_yaml_loads(tmp_path):
     assert cfg.model.latent_d == 24
     assert cfg.optim.step_size == 100000
     assert cfg.loss.iteration_interval == 50000
+
+
+def test_eval_trajectory_cli(tmp_path):
+    import yaml
+
+    data_root = str(tmp_path / "data")
+    vae_cfg = {
+        "model_name": "TwoHierSAVAEModel", "latent_d": 6, "shallow_latent_d": 6,
+        "kernel_size": 3, "train_seq_len": 8, "batch_size": 4,
+        "synthetic": True, "synthetic_num_seqs": 6, "data_root": data_root,
+    }
+    traj_cfg = {
+        "model_name": "TrajectoryModel", "latent_d": 12, "kernel_size": 3,
+        "train_seq_len": 8, "batch_size": 4, "trajectory_input_joint_pos": True,
+        "synthetic": True, "synthetic_num_seqs": 6, "data_root": data_root,
+    }
+    vp, tp = str(tmp_path / "vae.yaml"), str(tmp_path / "traj.yaml")
+    for p, c in ((vp, vae_cfg), (tp, traj_cfg)):
+        with open(p, "w") as f:
+            yaml.safe_dump(c, f)
+
+    from hm_vae_tpu.cli.eval_trajectory import main
+
+    main(["--config", vp, "--trajectory_config", tp,
+          "--output_path", str(tmp_path), "--num_samples", "2",
+          "--pred_trajectory_for_single_window"])
+    out_dir = tmp_path / "eval_trajectory" / "vae"
+    files = os.listdir(out_dir)
+    assert any(f.startswith("sampled_single_window") and f.endswith(".npy")
+               for f in files), files
+    arr = np.load(out_dir / "sampled_single_window_0.npy")
+    assert arr.shape[-1] == 9  # 6D ++ world positions

@@ -107,3 +107,13 @@ def test_runner_end_to_end():
     assert world.shape == (2, 16, 24, 3)
     assert root_v.shape == (2, 16, 3)
     assert np.isfinite(np.asarray(world)).all()
+
+
+def test_trajectory_ade_fde():
+    from hm_vae_tpu.apps.metrics import trajectory_ade, trajectory_fde
+    rng = np.random.default_rng(0)
+    gt = np.cumsum(rng.normal(size=(2, 10, 3)), axis=1).astype(np.float32)
+    assert float(trajectory_ade(jnp.asarray(gt), jnp.asarray(gt))) == 0.0
+    off = gt + np.array([1.0, 0, 0], np.float32)
+    np.testing.assert_allclose(float(trajectory_ade(jnp.asarray(off), jnp.asarray(gt))), 1.0, atol=1e-6)
+    np.testing.assert_allclose(float(trajectory_fde(jnp.asarray(off), jnp.asarray(gt))), 1.0, atol=1e-6)
