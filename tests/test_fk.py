@@ -93,3 +93,32 @@ def test_level_schedule_depths():
     # SMPL tree depth (excluding root) is 7: e.g. 0-1-4-7-10 legs depth 4,
     # arm chain 0-3-6-9-13-16-18-20-22 depth 8 -> levels == 8
     assert len(levels) == 8
+
+
+def test_fk_doubling_matches_level_schedule():
+    from scipy.spatial.transform import Rotation as R
+    offsets = fk_mod.default_offsets()
+    mats = R.random(6 * 24, random_state=5).as_matrix().reshape(6, 24, 3, 3)
+    mats = mats.astype(np.float32)
+    p1 = np.asarray(fk_mod.fk_from_rotmat(jnp.asarray(mats), offsets))
+    p2 = np.asarray(fk_mod.fk_doubling(jnp.asarray(mats), offsets))
+    np.testing.assert_allclose(p2, p1, atol=1e-5)
+    # global rotations too
+    _, g1 = fk_mod.fk_from_rotmat(jnp.asarray(mats), offsets,
+                                  return_global_rot=True)
+    _, g2 = fk_mod.fk_doubling(jnp.asarray(mats), offsets,
+                               return_global_rot=True)
+    np.testing.assert_allclose(np.asarray(g2), np.asarray(g1), atol=1e-5)
+
+
+def test_fk_doubling_gradients():
+    offsets = fk_mod.default_offsets()
+
+    def loss(six):
+        return jnp.sum(fk_mod.fk_doubling(
+            rot.rot6d_to_rotmat(six), offsets) ** 2)
+
+    rng = np.random.default_rng(6)
+    six = jnp.asarray(rng.normal(size=(2, 24, 6)).astype(np.float32))
+    g = jax.grad(loss)(six)
+    assert np.isfinite(np.asarray(g)).all() and np.abs(np.asarray(g)).sum() > 0
