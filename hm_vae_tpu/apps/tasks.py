@@ -40,6 +40,7 @@ LOWER_JOINTS = (0, 3, 6, 9, 1, 2, 4, 5, 7, 8, 10, 11)
 
 def _targets_from_rotmat(rotmat: jnp.ndarray) -> Dict[str, jnp.ndarray]:
     """(..., T, 24, 3, 3) -> target dict with 6D and FK positions."""
+    rotmat = jnp.asarray(rotmat)  # accept host numpy (the CLI path)
     six = rot.rotmat_to_rot6d(rotmat)
     pose = fk_mod.fk_from_rotmat(rotmat, fk_mod.default_offsets())
     return {"rot_6d": six, "rot_mat": rotmat, "pose": pose}

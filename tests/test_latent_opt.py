@@ -208,3 +208,15 @@ def test_final_loss_selection_consistency():
                           (10.0, "pose", res.last_pose)):
         l += w * float(jnp.mean((out[0] - targets[field][0]) ** 2))
     np.testing.assert_allclose(float(res.final_loss[0]), l, rtol=1e-4)
+
+
+def test_complete_accepts_numpy_input():
+    """The eval CLI feeds host numpy rotmats; completion must accept them
+    (regression: rot_mat passed through as numpy broke .at[] stitching)."""
+    model, params = _model_and_params()
+    apps = LatentOptApps(model, params, CFG)
+    seq = np.asarray(_rand_rotmat_seq(jax.random.PRNGKey(21), 17))
+    out = apps.complete(seq, jax.random.PRNGKey(22), missing="lower")
+    assert out["rot_6d"].shape[0] == 15
+    out2 = apps.interpolate(np.asarray(seq[:16]), jax.random.PRNGKey(23))
+    assert out2["rot_6d"].shape == (16, 24, 6)
