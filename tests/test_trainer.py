@@ -118,3 +118,26 @@ def test_keep_checkpoints_retention(tmp_path):
     ckpts = sorted(os.listdir(os.path.join(tmp, "runKeep", "checkpoints")))
     assert len(ckpts) == 2, ckpts
     assert ckpts[-1] == "gen_00000009"
+
+
+def test_nan_guard_restores_from_checkpoint(tmp_path):
+    import dataclasses
+    import jax
+    import jax.numpy as jnp
+    tmp = str(tmp_path)
+    cfg = tiny_cfg(tmp, max_iter=4)
+    cfg = dataclasses.replace(cfg, run=dataclasses.replace(
+        cfg.run, snapshot_save_iter=2, log_iter=1, steps_per_call=1))
+    trainer, train_ds, _, _ = build_trainer(cfg, os.path.join(tmp, "runNan"))
+    trainer.fit(train_ds, None, max_iter=3)  # snapshot at step 2
+    assert trainer.latest_checkpoint().endswith("gen_00000002")
+
+    # poison the params: the next logged loss is non-finite
+    trainer.state = trainer.state.replace(
+        params=jax.tree.map(lambda x: x * jnp.nan, trainer.state.params))
+    trainer.fit(train_ds, None, max_iter=4)
+    # guard must have restored step-2 params and finished at step 4 with
+    # finite loss
+    assert int(trainer.state.step) == 4
+    leaf = np.asarray(jax.tree.leaves(trainer.state.params)[0])
+    assert np.isfinite(leaf).all()
