@@ -146,10 +146,26 @@ class Trainer:
         # device-resident, compiler-laid-out arrays.  (Bare device_put /
         # passthrough-jit arrays stay host-staged behind the TPU tunnel and
         # are re-uploaded on EVERY executable launch — 50ms/call pathology.)
+        # With transfer_dtype=float16 the wire format is f16 and the upcast
+        # happens here (a real op, so the output is device-resident too).
+        def ingest_leaf(x):
+            if x.dtype == jnp.float32:
+                return jnp.copy(x)
+            return x.astype(jnp.float32)
+
         self._ingest_multi = jax.jit(
-            lambda t: jax.tree.map(jnp.copy, t), out_shardings=multi_bsh)
+            lambda t: jax.tree.map(ingest_leaf, t), out_shardings=multi_bsh)
         self._ingest_single = jax.jit(
-            lambda t: jax.tree.map(jnp.copy, t), out_shardings=bsh)
+            lambda t: jax.tree.map(ingest_leaf, t), out_shardings=bsh)
+        self._wire_dtype = (np.float16 if self.cfg.data.transfer_dtype ==
+                            "float16" else np.float32)
+
+        def to_wire(t):
+            if self._wire_dtype == np.float32:
+                return t
+            return jax.tree.map(lambda x: x.astype(self._wire_dtype), t)
+
+        self._to_wire = to_wire
 
     # ------------------------------------------------------------------
     # checkpointing
@@ -268,7 +284,7 @@ class Trainer:
                         stacked = jax.tree.map(
                             lambda *xs: np.stack(xs), *bs_list)
                     self.state, metrics = self._multi_fn(
-                        self.state, self._ingest_multi(stacked),
+                        self.state, self._ingest_multi(self._to_wire(stacked)),
                         jax.random.fold_in(rng, i))
                     i += K
                 elif native_super:
@@ -279,12 +295,12 @@ class Trainer:
                     for j in range(rem):
                         row = jax.tree.map(lambda x: x[j], sb)
                         self.state, metrics = self._step_fn(
-                            self.state, self._ingest_single(row),
+                            self.state, self._ingest_single(self._to_wire(row)),
                             jax.random.fold_in(rng, i))
                         i += 1
                 else:
                     self.state, metrics = self._step_fn(
-                        self.state, self._ingest_single(next(it)),
+                        self.state, self._ingest_single(self._to_wire(next(it))),
                         jax.random.fold_in(rng, i))
                     i += 1
 

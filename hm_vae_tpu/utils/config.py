@@ -121,6 +121,10 @@ class DataConfig:
     # transfer only rot_mat (+ root_v for the trajectory model) to the device
     # and derive 6D/FK fields on-device: 2.7x less host->device bandwidth
     compact_transfer: bool = True
+    # wire dtype for the host->device batch transfer: "float32" (exact) or
+    # "float16" (half the bytes; rotation entries are in [-1, 1] so f16 adds
+    # ~1e-4 absolute target noise — upcast to f32 on device in ingest)
+    transfer_dtype: str = "float32"
     missing_joint_prob: float = 0.0
 
 

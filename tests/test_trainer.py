@@ -141,3 +141,22 @@ def test_nan_guard_restores_from_checkpoint(tmp_path):
     assert int(trainer.state.step) == 4
     leaf = np.asarray(jax.tree.leaves(trainer.state.params)[0])
     assert np.isfinite(leaf).all()
+
+
+def test_float16_transfer_mode(tmp_path):
+    """transfer_dtype=float16 trains with near-identical losses to f32."""
+    import dataclasses
+    tmp = str(tmp_path)
+    cfg32 = tiny_cfg(tmp, max_iter=8)
+    cfg32 = dataclasses.replace(cfg32, run=dataclasses.replace(
+        cfg32.run, steps_per_call=4))
+    cfg16 = dataclasses.replace(cfg32, data=dataclasses.replace(
+        cfg32.data, transfer_dtype="float16"))
+
+    t32, ds32, _, _ = build_trainer(cfg32, os.path.join(tmp, "r32"))
+    m32 = t32.fit(ds32, None)
+    t16, ds16, _, _ = build_trainer(cfg16, os.path.join(tmp, "r16"))
+    m16 = t16.fit(ds16, None)
+    assert np.isfinite(m16["loss_total"])
+    # same data/seed, only the wire precision differs
+    assert abs(m16["loss_total"] - m32["loss_total"]) < 0.05 * m32["loss_total"] + 0.01
