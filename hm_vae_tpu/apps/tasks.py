@@ -77,6 +77,16 @@ class LatentOptApps:
         self.cfg = cfg
         self.W = cfg.model.train_seq_len
         self.solve = make_latent_optimizer(model, cfg)
+        # completion phase-switches later than the other tasks
+        # (prev_epochs 100 vs 50, seq_two_hier_sa_vae.py:1731 vs :1206/:1403)
+        lat = cfg.latent_opt
+        if lat.prev_epochs_completion != lat.prev_epochs:
+            import dataclasses
+            self.solve_completion = make_latent_optimizer(
+                model, cfg, lat=dataclasses.replace(
+                    lat, prev_epochs=lat.prev_epochs_completion))
+        else:
+            self.solve_completion = self.solve
         self._traj_solve = None
         if trajectory is not None and cfg.latent_opt.optimize_trajectory:
             key = tuple(np.nonzero(interpolation_mask(
@@ -164,6 +174,78 @@ class LatentOptApps:
         }
 
     # ------------------------------------------------------------------
+    def interpolate_single_window(self, rotmat_wins: jnp.ndarray,
+                                  rng: jax.Array,
+                                  root_trans: Optional[jnp.ndarray] = None,
+                                  ) -> Dict:
+        """One-window temporal interpolation, batched across sequences.
+
+        The reference's *intended* ``try_interpolation_single_window`` API
+        (dispatched by ``eval_partial_motion_recovery.py:96-103`` with a
+        trajectory trainer; the method is absent from the released model,
+        ``trainer_motion_vae.py:214-215``).  rotmat_wins: (B, W, 24, 3, 3) —
+        one window per test sequence, all solved in ONE batched call.
+        With ``root_trans`` (B, W, 3) and an optimize_trajectory-enabled
+        runner, the keyframe trajectory loss is active.
+        """
+        lat = self.cfg.latent_opt
+        B, W = rotmat_wins.shape[:2]
+        assert W == self.W, f"window length {W} != train_seq_len {self.W}"
+        targets = _targets_from_rotmat(rotmat_wins)
+        tmask = interpolation_mask(W, lat.interpolation_window)
+        mask = jnp.asarray(np.tile(tmask[None, :, None], (B, 1, 24)))
+
+        z_init = init_z(rng, self.cfg, B)
+        z_reg = jax.tree.map(jnp.zeros_like, z_init)
+        if self._traj_solve is not None and root_trans is not None:
+            targets = dict(targets)
+            targets["root_trans"] = jnp.asarray(root_trans)
+            res = self._traj_solve(self.params, targets, mask, z_init, z_reg)
+            targets.pop("root_trans")
+        else:
+            res = self.solve(self.params, targets, mask, z_init, z_reg)
+
+        out6d, outrot, outpose = res.last_6d, res.last_rotmat, res.last_pose
+        if lat.replace_frame_with_gt:
+            out6d = replace_with_target(out6d, targets["rot_6d"], mask)
+            outrot = replace_with_target(outrot, targets["rot_mat"], mask)
+            outpose = replace_with_target(outpose, targets["pose"], mask)
+        return {"rot_6d": out6d, "rot_mat": outrot, "pose": outpose,
+                "mask": mask, "loss_history": res.loss_history}
+
+    # ------------------------------------------------------------------
+    def complete_single_window(self, rotmat_wins: jnp.ndarray,
+                               masks: jnp.ndarray, rng: jax.Array) -> Dict:
+        """One-window motion completion, batched across sequences.
+
+        The reference's *intended* ``final_motion_completion_single_window``
+        API (dispatched with ``random_missing_joints=True`` by
+        ``eval_partial_motion_recovery.py:117-127``; the method is absent from
+        the released model, ``trainer_motion_vae.py:225-229``).
+
+        rotmat_wins: (B, W, 24, 3, 3); masks: (B, W, 24) visibility (1 =
+        visible) — per-frame random joint masks (``missing_joint_prob``) or
+        fixed body-part masks both fit this contract.
+        """
+        lat = self.cfg.latent_opt
+        B, W = rotmat_wins.shape[:2]
+        assert W == self.W, f"window length {W} != train_seq_len {self.W}"
+        targets = _targets_from_rotmat(rotmat_wins)
+        mask = jnp.asarray(masks)
+
+        z_init = init_z(rng, self.cfg, B)
+        z_reg = jax.tree.map(jnp.zeros_like, z_init)
+        res = self.solve_completion(self.params, targets, mask, z_init, z_reg)
+
+        out6d, outrot, outpose = res.last_6d, res.last_rotmat, res.last_pose
+        if lat.replace_part_with_gt:
+            out6d = replace_with_target(out6d, targets["rot_6d"], mask)
+            outrot = replace_with_target(outrot, targets["rot_mat"], mask)
+            outpose = replace_with_target(outpose, targets["pose"], mask)
+        return {"rot_6d": out6d, "rot_mat": outrot, "pose": outpose,
+                "mask": mask, "loss_history": res.loss_history}
+
+    # ------------------------------------------------------------------
     def complete(self, rotmat_seq: jnp.ndarray, rng: jax.Array,
                  missing: str = "lower") -> Dict:
         """Body-part completion over a long sequence with 1-frame stitching."""
@@ -194,7 +276,7 @@ class LatentOptApps:
 
             z_init = init_z(jax.random.fold_in(rng, w_idx), self.cfg, 1)
             z_reg = jax.tree.map(jnp.zeros_like, z_init)
-            res = self.solve(self.params, tgt, mask, z_init, z_reg)
+            res = self.solve_completion(self.params, tgt, mask, z_init, z_reg)
 
             out = {"rot_6d": res.last_6d, "rot_mat": res.last_rotmat,
                    "pose": res.last_pose}

@@ -2,8 +2,16 @@
 
 Flag-compatible with ``eval_partial_motion_recovery.py:22-67``:
 ``--final_motion_completion_long_seq``, ``--final_try_long_seq_interpolation``,
-``--try_final_long_seq_generation``, with ``--trajectory_config`` /
-``--trajectory_test_model`` hooking in the root-trajectory model.
+``--try_final_long_seq_generation``, plus the reference's *intended*
+single-window surface — ``--final_motion_completion`` (random per-frame joint
+masks via ``missing_joint_prob``) and
+``--try_interpolation_w_trajectory_single_window`` (keyframe trajectory loss)
+— whose target methods are missing from the released reference model
+(``trainer_motion_vae.py:214-229``).  ``--trajectory_config`` /
+``--trajectory_test_model`` hook in the root-trajectory model.
+
+Evaluation defaults to the FULL test split (``--max_seqs -1``); single-window
+tasks batch ``--chunk`` sequences per jitted solve.
 """
 
 from __future__ import annotations
@@ -22,13 +30,25 @@ def main(argv=None):
     p.add_argument("--trajectory_config", type=str, default="")
     p.add_argument("--trajectory_test_model", type=str, default="")
     p.add_argument("--data_root", type=str, default=None)
-    p.add_argument("--max_seqs", type=int, default=4)
+    p.add_argument("--max_seqs", type=int, default=-1,
+                   help="number of test sequences to evaluate (-1 = all)")
+    p.add_argument("--chunk", type=int, default=32,
+                   help="sequences per batched single-window solve")
+    p.add_argument("--missing_joint_prob", type=float, default=None,
+                   help="per-frame random joint-drop probability for "
+                        "--final_motion_completion (default: cfg.data value, "
+                        "or 0.3 if unset)")
+    p.add_argument("--mask_dir", type=str, default=None,
+                   help="precomputed per-frame mask npys (overrides random)")
     p.add_argument("--gen_vis", action="store_true")
     p.add_argument("--input_gt", action="store_true")
 
     p.add_argument("--final_motion_completion_long_seq", action="store_true")
     p.add_argument("--final_try_long_seq_interpolation", action="store_true")
     p.add_argument("--try_final_long_seq_generation", action="store_true")
+    p.add_argument("--final_motion_completion", action="store_true")
+    p.add_argument("--try_interpolation_w_trajectory_single_window",
+                   action="store_true")
     args = p.parse_args(argv)
 
     import jax
@@ -57,6 +77,13 @@ def main(argv=None):
         task, out_name = "completion", "eval_long_seq_completion"
     elif args.try_final_long_seq_generation:
         task, out_name = "generation", "eval_long_seq_generation"
+    elif args.final_motion_completion:
+        # single-window completion with random missing joints
+        # (eval_partial_motion_recovery.py:60-61, 117-127)
+        task, out_name = "completion_sw", "eval_completion_single_window"
+    elif args.try_interpolation_w_trajectory_single_window:
+        task, out_name = ("interpolation_sw",
+                          "eval_interpolation_w_trajectory_single_window")
     else:
         p.error("choose one of the task flags")
     output_dir = os.path.join(args.output_path, out_name, model_name)
@@ -65,9 +92,11 @@ def main(argv=None):
     trainer, _, _, test_ds = build_trainer(cfg, output_dir)
     if args.test_model:
         trainer.load_params(args.test_model)
-    apps = LatentOptApps(trainer.model, trainer.state.params, cfg)
 
+    mean_std = (trainer.mean_std if trainer.mean_std is not None
+                else np.stack([np.zeros(579), np.ones(579)]).astype(np.float32))
     traj_runner = None
+    traj_tuple = None
     if args.trajectory_config:
         tcfg = load_config(args.trajectory_config)
         t_trainer = Trainer(tcfg, os.path.join(output_dir, "traj"),
@@ -75,19 +104,51 @@ def main(argv=None):
         if args.trajectory_test_model:
             t_trainer.load_params(args.trajectory_test_model)
         traj_runner = TrajectoryRunner(
-            t_trainer.model, t_trainer.state.params,
-            trainer.mean_std if trainer.mean_std is not None
-            else np.stack([np.zeros(579), np.ones(579)]).astype(np.float32))
+            t_trainer.model, t_trainer.state.params, mean_std)
+        traj_tuple = (t_trainer.model, t_trainer.state.params, mean_std)
 
-    # evaluation data: full test sequences
+    if task == "interpolation_sw" and traj_tuple is not None:
+        # the single-window interpolation runs the keyframe trajectory loss
+        # inside the solver (eval_partial_motion_recovery.py:96-103)
+        import dataclasses
+
+        cfg_sw = dataclasses.replace(
+            cfg, latent_opt=dataclasses.replace(
+                cfg.latent_opt, optimize_trajectory=True,
+                reg_w_trajectory=cfg.latent_opt.reg_w_trajectory or 1.0))
+        apps = LatentOptApps(trainer.model, trainer.state.params, cfg_sw,
+                             trajectory=traj_tuple)
+    else:
+        apps = LatentOptApps(trainer.model, trainer.state.params, cfg)
+
+    # evaluation data: full test sequences (random per-frame joint masks for
+    # the single-window completion task, utils_motion_vae.py:247, 276-277)
+    mprob = args.missing_joint_prob
+    if mprob is None:
+        mprob = cfg.data.missing_joint_prob or 0.3
+    eval_kwargs = {}
+    if task == "completion_sw":
+        if args.mask_dir:
+            eval_kwargs = dict(mask_dir=args.mask_dir)
+        else:
+            eval_kwargs = dict(missing="random", missing_joint_prob=mprob,
+                               seed=cfg.run.seed)
     eval_ds = EvalMotionDataset(
         os.path.join(cfg.data.data_root, "seqs"),
-        os.path.join(cfg.data.data_root, "test.json"))
+        os.path.join(cfg.data.data_root, "test.json"), **eval_kwargs)
 
     rng = jax.random.PRNGKey(cfg.run.seed)
     W = cfg.model.train_seq_len
+    n_eval = len(eval_ds) if args.max_seqs < 0 else min(args.max_seqs,
+                                                        len(eval_ds))
+
+    if task in ("completion_sw", "interpolation_sw"):
+        _run_single_window(args, task, apps, eval_ds, n_eval, W, rng,
+                           traj_runner, output_dir)
+        return
+
     results = []
-    for i in range(min(args.max_seqs, len(eval_ds))):
+    for i in range(n_eval):
         item = eval_ds[i]
         rotmat = item["rot_mat"]
         if rotmat.shape[0] < W:
@@ -143,6 +204,86 @@ def main(argv=None):
 
         with open(os.path.join(output_dir, "summary.json"), "w") as f:
             json.dump(summary, f, indent=2)
+
+
+def _run_single_window(args, task, apps, eval_ds, n_eval, W, rng,
+                       traj_runner, output_dir):
+    """Batched one-window-per-sequence evaluation over the test split.
+
+    Chunks of ``args.chunk`` sequences solve in one jitted call each —
+    the reference would run one 150-step Python loop per sequence."""
+    import json
+
+    import jax
+
+    from ..apps.metrics import accel_error, mpjpe
+    from ..ops import fk as fk_mod
+    from ..utils.viz import save_animation
+
+    items = []
+    for i in range(n_eval):
+        it = eval_ds[i]
+        if it["rot_mat"].shape[0] >= W:
+            items.append(it)
+    if not items:
+        print("no test sequences long enough for one window")
+        return
+
+    results = []
+    for c0 in range(0, len(items), args.chunk):
+        chunk = items[c0 : c0 + args.chunk]
+        wins = np.stack([it["rot_mat"][:W] for it in chunk])
+        key = jax.random.fold_in(rng, 1000 + c0)
+        if task == "completion_sw":
+            masks = np.stack([it["mask"][:W] for it in chunk])
+            out = apps.complete_single_window(wins, masks, key)
+        else:
+            # GT root translation for the keyframe trajectory loss: frame-0
+            # velocity zeroed, then accumulated (trajectory_pred_model.py:289-303)
+            rv = np.stack([it["root_v"][:W] for it in chunk]).astype(np.float32)
+            rv[:, 0] = 0.0
+            rt = np.cumsum(rv, axis=1)
+            out = apps.interpolate_single_window(wins, key, root_trans=rt)
+
+        pose = np.asarray(out["pose"])
+        mask = np.asarray(out["mask"])
+        rot = np.asarray(out["rot_mat"])
+        six = np.asarray(out["rot_6d"])
+        for j, it in enumerate(chunk):
+            gt_pose = fk_mod.fk_numpy(it["rot_mat"][:W])
+            m = {
+                "mpjpe": float(mpjpe(pose[j], gt_pose)),
+                "accel_err": float(accel_error(pose[j], gt_pose)),
+            }
+            missing = 1.0 - mask[j]  # (W, 24)
+            if missing.sum() > 0:
+                err = np.linalg.norm(pose[j] - np.asarray(gt_pose), axis=-1)
+                m["mpjpe_missing"] = float(
+                    (err * missing).sum() / missing.sum())
+            name = it["name"].replace(".npy", "")
+            np.save(os.path.join(output_dir, f"{name}_rot_opt_res.npy"),
+                    rot[j])
+            if traj_runner is not None:
+                world, _ = traj_runner(six[j][None])
+                np.save(os.path.join(output_dir,
+                                     f"{name}_root_trans_opt_res.npy"),
+                        np.asarray(world[0]))
+                if args.gen_vis:
+                    save_animation(np.asarray(world[0])[None],
+                                   os.path.join(output_dir, f"{name}.mp4"))
+            elif args.gen_vis:
+                save_animation(pose[j][None],
+                               os.path.join(output_dir, f"{name}.mp4"))
+            results.append((name, m))
+            print(name, m, flush=True)
+
+    keys = sorted({k for _, m in results for k in m})
+    summary = {k: float(np.mean([m[k] for _, m in results if k in m]))
+               for k in keys}
+    summary["num_seqs"] = len(results)
+    print("summary:", summary)
+    with open(os.path.join(output_dir, "summary.json"), "w") as f:
+        json.dump(summary, f, indent=2)
 
 
 if __name__ == "__main__":

@@ -80,23 +80,24 @@ class MotionDataset:
         return len(self.seqs)
 
     # ------------------------------------------------------------------
-    def _sample_window(self, idx: int) -> np.ndarray:
+    def _sample_window(self, idx: int, rng=None) -> np.ndarray:
         """(T_win, 579) raw window with fps augmentation and retries
         (utils_motion_vae.py:65-81, 136-141)."""
+        rng = self.rng if rng is None else rng
         L = self.train_seq_len
         for _ in range(20):
             seq = self.seqs[idx]
             if self.fps_aug:
                 for _ in range(10):
-                    stride = int(self.rng.choice(FPS_AUG_STRIDES))
+                    stride = int(rng.choice(FPS_AUG_STRIDES))
                     cand = seq[::stride]
                     if cand.shape[0] >= L:
                         seq = cand
                         break
             if seq.shape[0] >= L:
-                t0 = int(self.rng.integers(0, seq.shape[0] - L + 1))
+                t0 = int(rng.integers(0, seq.shape[0] - L + 1))
                 return seq[t0 : t0 + L]
-            idx = int(self.rng.integers(0, len(self.seqs)))
+            idx = int(rng.integers(0, len(self.seqs)))
         raise ValueError("no sequence long enough for train_seq_len")
 
     def sample_batch(self, batch_size: int) -> Dict[str, np.ndarray]:
@@ -148,6 +149,31 @@ class MotionDataset:
     def iter_batches(self, batch_size: int) -> Iterator[Dict[str, np.ndarray]]:
         while True:
             yield self.sample_batch(batch_size)
+
+    def ordered_batches(self, batch_size: int, max_batches: int = 50,
+                        seed: int = 0) -> Iterator[Dict[str, np.ndarray]]:
+        """Deterministic sequential validation batches.
+
+        The reference validates over an *ordered* val DataLoader
+        (shuffle=False, ``utils_motion_vae.py:219-224``,
+        ``train_motion_vae.py:98-110``); sequences are walked in index order
+        and window choice comes from a fresh per-call rng, so every
+        validation pass — and every run — evaluates the identical windows.
+        Augmentation is skipped (eval-mode data).
+        """
+        rng = np.random.default_rng(seed)
+        n = len(self.seqs)
+        total = min(max_batches * batch_size, max(n, batch_size))
+        for b0 in range(0, total - batch_size + 1, batch_size):
+            raw = np.stack([
+                self._sample_window((b0 + j) % n, rng)
+                for j in range(batch_size)
+            ])
+            aug, self.random_root_rot = self.random_root_rot, False
+            try:
+                yield self._finalize(raw)
+            finally:
+                self.random_root_rot = aug
 
 
 class EvalMotionDataset:

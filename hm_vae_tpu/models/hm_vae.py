@@ -117,6 +117,11 @@ class Encoder(nn.Module):
         st = get_structure(self.cfg)
         z_stats: List[jnp.ndarray] = []
         for i, lvl in enumerate(st.encoder_levels):
+            # extra_conv: stride-1 convs ahead of the strided conv, with no
+            # activation between them (seq_two_hier_sa_vae.py:102-105)
+            for e, espec in enumerate(lvl.extra_convs):
+                x = SkeletonConv(espec, self.cfg.compute_dtype,
+                                 name=f"conv_{i}_extra_{e}")(x)
             x = SkeletonConv(lvl.conv, self.cfg.compute_dtype,
                              name=f"conv_{i}")(x)
             x = snn.apply_channel_matrix(x, jnp.asarray(lvl.pool_matrix, x.dtype))
@@ -174,6 +179,11 @@ class Decoder(nn.Module):
             if lvl.upsample:
                 x = snn.upsample_linear(x, 2)
             x = snn.apply_channel_matrix(x, jnp.asarray(lvl.unpool_matrix, x.dtype))
+            # extra_conv between the unpool and the main conv
+            # (seq_two_hier_sa_vae.py:244-249)
+            for e, espec in enumerate(lvl.extra_convs):
+                x = SkeletonConv(espec, self.cfg.compute_dtype,
+                                 name=f"conv_{i}_extra_{e}")(x)
             x = SkeletonConv(lvl.conv, self.cfg.compute_dtype,
                              name=f"conv_{i}")(x)
             if lvl.leaky:

@@ -47,6 +47,9 @@ class EncoderLevel:
     latent_in: int                 # channel_base[i+1] * timestep_out
     latent_out: int                # 2 * (shallow_)latent_d
     timestep_out: int
+    # cfg.extra_conv stride-1 in->in SkeletonConvs applied BEFORE the strided
+    # conv, with no activation in between (seq_two_hier_sa_vae.py:102-105)
+    extra_convs: List[ConvSpec] = dataclasses.field(default_factory=list)
 
 
 @dataclasses.dataclass(eq=False)
@@ -59,6 +62,9 @@ class DecoderLevel:
     latent_out: int                # channel_base * timestep
     timestep: int                  # temporal length of this level's hier feat
     z_edges: int                   # edge count of the consumed z vector
+    # cfg.extra_conv stride-1 in->in SkeletonConvs between the unpool and the
+    # main conv (seq_two_hier_sa_vae.py:244-249); bias follows the level flag
+    extra_convs: List[ConvSpec] = dataclasses.field(default_factory=list)
 
 
 class HMVAEStructure:
@@ -112,6 +118,11 @@ class HMVAEStructure:
                 padding_mode=pad_mode, bias=True, mask=mask,
                 block_bounds=bounds, n_edges=n_edges,
             )
+            extras = [
+                _extra_conv_spec(casc.neighbours[i], self.channel_base[i],
+                                 k, padding, pad_mode, True, n_edges)
+                for _ in range(cfg.extra_conv)
+            ]
             cpe = out_ch // n_edges
             pool_m = tp.pooling_matrix(casc.pooling_lists[i], n_edges, cpe)
             latent_out = 2 * (cfg.shallow_latent_d if i == 0 else cfg.latent_d)
@@ -121,6 +132,7 @@ class HMVAEStructure:
                 latent_in=self.channel_base[i + 1] * self.enc_timesteps[i + 1],
                 latent_out=latent_out,
                 timestep_out=self.enc_timesteps[i + 1],
+                extra_convs=extras,
             ))
 
         # z vector edge counts, shallow -> deep (e.g. 14, 9, 7, 7)
@@ -159,6 +171,11 @@ class HMVAEStructure:
                 mask=mask, block_bounds=bounds, n_edges=n_edges,
             )
             unpool_m = tp.unpooling_matrix(casc.pooling_lists[enc_idx], in_cpe)
+            extras = [
+                _extra_conv_spec(casc.neighbours[enc_idx], in_cpe,
+                                 k, padding, pad_mode, bias, n_edges)
+                for _ in range(cfg.extra_conv)
+            ]
             # hier feat for this level consumes z_vec_list[nl - i - 1]
             z_idx = nl - i - 1
             self.decoder_levels.append(DecoderLevel(
@@ -168,6 +185,7 @@ class HMVAEStructure:
                 latent_out=self.channel_base[nl - i] * self.dec_timesteps[i],
                 timestep=self.dec_timesteps[i],
                 z_edges=self.z_edges[z_idx],
+                extra_convs=extras,
             ))
 
     def __hash__(self):
@@ -175,6 +193,19 @@ class HMVAEStructure:
 
     def __eq__(self, other):
         return self is other
+
+
+def _extra_conv_spec(neighbours, cpe: int, kernel: int, padding: int,
+                     pad_mode: str, bias: bool, n_edges: int) -> ConvSpec:
+    """Stride-1, channel-preserving SkeletonConv spec for ``extra_conv``
+    (seq_two_hier_sa_vae.py:102-105 encoder, :244-249 decoder)."""
+    return ConvSpec(
+        in_channels=cpe * n_edges, out_channels=cpe * n_edges,
+        kernel_size=kernel, stride=1, padding=padding, padding_mode=pad_mode,
+        bias=bias, mask=tp.conv_channel_mask(neighbours, cpe, cpe),
+        block_bounds=_block_bounds(neighbours, cpe, kernel),
+        n_edges=n_edges,
+    )
 
 
 def _block_bounds(neighbours, in_cpe: int, kernel: int) -> np.ndarray:

@@ -123,9 +123,8 @@ def fused_conv_pool(
     )(x, w_flat, bias, pool, dec)
 
 
-def _patch_rows_reorder_note():
-    """patch rows are k-major ((k, c_in)); w_flat above transposes the weight
-    to (C_out, K, C_in) so the contraction dimensions line up."""
+# note: patch rows are k-major ((k, c_in)); w_flat above transposes the weight
+# to (C_out, K, C_in) so the contraction dimensions line up.
 
 
 def benchmark_against_xla(level_shapes=None, iters: int = 50):

@@ -38,20 +38,6 @@ def l2(pred: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
     return jnp.mean((pred - target) ** 2)
 
 
-def masked_l2(pred: jnp.ndarray, target: jnp.ndarray, mask: jnp.ndarray):
-    """Mean over *all* elements of mask-weighted squared error.
-
-    mask broadcasts (..., 24) against (..., 24, D[, D2]); matches
-    ``l2_masked_criterion`` (``seq_two_hier_sa_vae.py:717-735``), which divides
-    by the full element count, not the visible count.
-    """
-    while mask.ndim < pred.ndim:
-        mask = mask[..., None]
-    err = (pred - target) ** 2 * mask
-    per_frame = err.reshape(err.shape[0], err.shape[1], -1).mean(axis=-1)
-    return err.mean(), per_frame
-
-
 def _grad_gate(x: jnp.ndarray, active: jnp.ndarray) -> jnp.ndarray:
     """Value of x always; gradient only when ``active`` (traced bool)."""
     return jnp.where(active, x, jax.lax.stop_gradient(x))

@@ -91,8 +91,16 @@ class Trainer:
 
     def _loss_fn(self, params, batch, rng, step, sample=True):
         if isinstance(self.model, TrajectoryModel):
-            ms = self.mean_std if self.mean_std is not None else np.stack(
-                [np.zeros(579, np.float32), np.ones(579, np.float32)])
+            ms = self.mean_std
+            if ms is None:
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "TrajectoryModel trainer has no dataset mean/std — "
+                    "falling back to zeros/ones normalisation; pass "
+                    "mean_std to Trainer for correct de-standardisation")
+                ms = np.stack(
+                    [np.zeros(579, np.float32), np.ones(579, np.float32)])
             return trajectory_losses(self.model, params, batch, self.cfg, ms)
         return hmvae_forward(self.model, params, batch, rng, step, self.cfg,
                              sample=sample)
@@ -328,9 +336,13 @@ class Trainer:
                         log_cb(i, host)
 
                 if val_ds is not None and crossed(cfg.run.validation_iter):
+                    # deterministic ordered validation pass (<=50 batches,
+                    # train_motion_vae.py:98-110): identical windows every
+                    # pass and every run, so val curves are run-comparable
                     vals = []
-                    for vi in range(min(50, max(1, len(val_ds)))):
-                        vm = self._eval_fn(self.state, val_ds.sample_batch(bs),
+                    for vi, vb in enumerate(val_ds.ordered_batches(
+                            bs, max_batches=50, seed=cfg.run.seed)):
+                        vm = self._eval_fn(self.state, vb,
                                            jax.random.fold_in(rng, 10_000_000 + vi))
                         vals.append({k: float(v) for k, v in vm.items()})
                     avg = {f"val_{k}": float(np.mean([v[k] for v in vals]))

@@ -96,9 +96,11 @@ class LatentOptConfig:
     replace_part_with_gt: bool = True
     missing_upper_completion: bool = False
     missing_lower_completion: bool = True
-    # decoder fine-tuning kicks in after this many z-only steps
-    # (prev_epochs in seq_two_hier_sa_vae.py:1206/1403/1731)
+    # decoder fine-tuning kicks in after this many z-only steps; the reference
+    # hard-codes 50 for generation/interpolation but 100 for completion
+    # (prev_epochs in seq_two_hier_sa_vae.py:1206/1403 vs :1731)
     prev_epochs: int = 50
+    prev_epochs_completion: int = 100
 
 
 @dataclasses.dataclass(frozen=True)

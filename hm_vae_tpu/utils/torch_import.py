@@ -56,15 +56,26 @@ def import_hmvae_params(sd: Mapping[str, np.ndarray],
     enc: Dict[str, Dict[str, np.ndarray]] = {}
     dec: Dict[str, Dict[str, np.ndarray]] = {}
 
+    E = cfg.extra_conv
     for i in range(nl):
         lvl = st.encoder_levels[i]
-        conv = {"weight": np.asarray(sd[f"enc.layers.{i}.0.weight"], np.float32)}
+        # Sequential layout: [extra_conv x E, conv, pool, leaky]
+        # (seq_two_hier_sa_vae.py:94-133)
+        for e in range(E):
+            enc[f"conv_{i}_extra_{e}"] = {
+                "weight": np.asarray(sd[f"enc.layers.{i}.{e}.weight"],
+                                     np.float32),
+                "bias": np.asarray(sd[f"enc.layers.{i}.{e}.bias"], np.float32),
+            }
+        conv = {"weight": np.asarray(sd[f"enc.layers.{i}.{E}.weight"],
+                                     np.float32)}
         if lvl.conv.bias:
-            conv["bias"] = np.asarray(sd[f"enc.layers.{i}.0.bias"], np.float32)
-        _check_constant(sd, f"enc.layers.{i}.0.mask",
+            conv["bias"] = np.asarray(sd[f"enc.layers.{i}.{E}.bias"],
+                                      np.float32)
+        _check_constant(sd, f"enc.layers.{i}.{E}.mask",
                         np.broadcast_to(lvl.conv.mask[:, :, None],
                                         conv["weight"].shape))
-        _check_constant(sd, f"enc.layers.{i}.1.weight", lvl.pool_matrix)
+        _check_constant(sd, f"enc.layers.{i}.{E + 1}.weight", lvl.pool_matrix)
         enc[f"conv_{i}"] = conv
         enc[f"latent_head_{i}"] = {
             "kernel": np.asarray(sd[f"enc.latent_enc_layers.{i}.weight"],
@@ -75,7 +86,17 @@ def import_hmvae_params(sd: Mapping[str, np.ndarray],
 
     for i in range(nl):
         lvl = st.decoder_levels[i]
-        conv_idx = 1 + (1 if lvl.upsample else 0)
+        # Sequential layout: [upsample?, unpool, extra_conv x E, conv, leaky?]
+        # (seq_two_hier_sa_vae.py:233-260)
+        unpool_idx = 1 if lvl.upsample else 0
+        conv_idx = unpool_idx + 1 + E
+        for e in range(E):
+            ex = {"weight": np.asarray(
+                sd[f"dec.layers.{i}.{unpool_idx + 1 + e}.weight"], np.float32)}
+            if lvl.conv.bias:
+                ex["bias"] = np.asarray(
+                    sd[f"dec.layers.{i}.{unpool_idx + 1 + e}.bias"], np.float32)
+            dec[f"conv_{i}_extra_{e}"] = ex
         conv = {"weight": np.asarray(
             sd[f"dec.layers.{i}.{conv_idx}.weight"], np.float32)}
         if lvl.conv.bias:
@@ -102,18 +123,26 @@ def export_hmvae_params(variables: Mapping, cfg: ModelConfig
     """
     st = get_structure(cfg)
     nl = cfg.num_layers
+    E = cfg.extra_conv
     params = variables["params"]
     sd: Dict[str, np.ndarray] = {}
     for i in range(nl):
         lvl = st.encoder_levels[i]
+        for e, espec in enumerate(lvl.extra_convs):
+            ex = params["encoder"][f"conv_{i}_extra_{e}"]
+            ew = np.asarray(ex["weight"], np.float32)
+            sd[f"enc.layers.{i}.{e}.weight"] = ew
+            sd[f"enc.layers.{i}.{e}.bias"] = np.asarray(ex["bias"], np.float32)
+            sd[f"enc.layers.{i}.{e}.mask"] = np.broadcast_to(
+                espec.mask[:, :, None], ew.shape).astype(np.float32)
         conv = params["encoder"][f"conv_{i}"]
         w = np.asarray(conv["weight"], np.float32)
-        sd[f"enc.layers.{i}.0.weight"] = w
+        sd[f"enc.layers.{i}.{E}.weight"] = w
         if "bias" in conv:
-            sd[f"enc.layers.{i}.0.bias"] = np.asarray(conv["bias"], np.float32)
-        sd[f"enc.layers.{i}.0.mask"] = np.broadcast_to(
+            sd[f"enc.layers.{i}.{E}.bias"] = np.asarray(conv["bias"], np.float32)
+        sd[f"enc.layers.{i}.{E}.mask"] = np.broadcast_to(
             lvl.conv.mask[:, :, None], w.shape).astype(np.float32)
-        sd[f"enc.layers.{i}.1.weight"] = lvl.pool_matrix
+        sd[f"enc.layers.{i}.{E + 1}.weight"] = lvl.pool_matrix
         head = params["encoder"][f"latent_head_{i}"]
         sd[f"enc.latent_enc_layers.{i}.weight"] = np.asarray(
             head["kernel"], np.float32).T
@@ -121,15 +150,28 @@ def export_hmvae_params(variables: Mapping, cfg: ModelConfig
             head["bias"], np.float32)
     for i in range(nl):
         lvl = st.decoder_levels[i]
-        conv_idx = 1 + (1 if lvl.upsample else 0)
+        unpool_idx = 1 if lvl.upsample else 0
+        conv_idx = unpool_idx + 1 + E
+        for e, espec in enumerate(lvl.extra_convs):
+            ex = params["decoder"][f"conv_{i}_extra_{e}"]
+            ew = np.asarray(ex["weight"], np.float32)
+            sd[f"dec.layers.{i}.{unpool_idx + 1 + e}.weight"] = ew
+            if "bias" in ex:
+                sd[f"dec.layers.{i}.{unpool_idx + 1 + e}.bias"] = np.asarray(
+                    ex["bias"], np.float32)
+            sd[f"dec.layers.{i}.{unpool_idx + 1 + e}.mask"] = np.broadcast_to(
+                espec.mask[:, :, None], ew.shape).astype(np.float32)
         conv = params["decoder"][f"conv_{i}"]
         sd[f"dec.layers.{i}.{conv_idx}.weight"] = np.asarray(
             conv["weight"], np.float32)
         if "bias" in conv:
             sd[f"dec.layers.{i}.{conv_idx}.bias"] = np.asarray(
                 conv["bias"], np.float32)
+        sd[f"dec.layers.{i}.{conv_idx}.mask"] = np.broadcast_to(
+            lvl.conv.mask[:, :, None],
+            np.asarray(conv["weight"]).shape).astype(np.float32)
         sd[f"dec.unpools.{i}.weight"] = lvl.unpool_matrix
-        sd[f"dec.layers.{i}.{conv_idx - 1}.weight"] = lvl.unpool_matrix
+        sd[f"dec.layers.{i}.{unpool_idx}.weight"] = lvl.unpool_matrix
         head = params["decoder"][f"latent_dec_{i}"]
         sd[f"dec.latent_dec_layers.{i}.weight"] = np.asarray(
             head["kernel"], np.float32).T

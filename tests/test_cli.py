@@ -137,3 +137,78 @@ def test_eval_trajectory_cli(tmp_path):
                for f in files), files
     arr = np.load(out_dir / "sampled_single_window_0.npy")
     assert arr.shape[-1] == 9  # 6D ++ world positions
+
+
+def test_eval_completion_single_window_cli(tmp_path):
+    """--final_motion_completion: the intended single-window API with random
+    per-frame joint masks (eval_partial_motion_recovery.py:60-61, 117-127),
+    batched across sequences, evaluated over the full test split."""
+    import yaml
+
+    data_root = str(tmp_path / "data")
+    cfg = {
+        "model_name": "TwoHierSAVAEModel", "latent_d": 6, "shallow_latent_d": 6,
+        "kernel_size": 3, "train_seq_len": 8, "batch_size": 4,
+        "synthetic": True, "synthetic_num_seqs": 6, "data_root": data_root,
+        "opt_it": 6, "opt_lr": 0.1, "opt_step_size": 3,
+        "optimize_decoder": False, "replace_part_with_gt": True,
+    }
+    cfg_path = str(tmp_path / "comp.yaml")
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(cfg, f)
+
+    from hm_vae_tpu.cli.eval_recovery import main
+
+    main(["--config", cfg_path, "--output_path", str(tmp_path),
+          "--final_motion_completion", "--missing_joint_prob", "0.4",
+          "--chunk", "4"])
+    out_dir = tmp_path / "eval_completion_single_window" / "comp"
+    with open(out_dir / "summary.json") as f:
+        summary = json.load(f)
+    assert np.isfinite(summary["mpjpe"])
+    assert np.isfinite(summary["mpjpe_missing"])
+    # full test split by default (synthetic split has >1 test sequence)
+    assert summary["num_seqs"] >= 1
+    rots = [f for f in os.listdir(out_dir) if f.endswith("_rot_opt_res.npy")]
+    assert len(rots) == summary["num_seqs"]
+
+
+def test_eval_interpolation_single_window_cli(tmp_path):
+    """--try_interpolation_w_trajectory_single_window: the intended
+    single-window interpolation API (eval_partial_motion_recovery.py:96-103)
+    with the keyframe trajectory loss in the solver."""
+    import yaml
+
+    data_root = str(tmp_path / "data")
+    vae_cfg = {
+        "model_name": "TwoHierSAVAEModel", "latent_d": 6, "shallow_latent_d": 6,
+        "kernel_size": 3, "train_seq_len": 8, "batch_size": 4,
+        "synthetic": True, "synthetic_num_seqs": 6, "data_root": data_root,
+        "opt_it": 6, "opt_lr": 0.1, "opt_step_size": 3,
+        "interpolation_window": 3, "optimize_decoder": False,
+        "replace_frame_with_gt": True,
+    }
+    traj_cfg = {
+        "model_name": "TrajectoryModel", "latent_d": 12, "kernel_size": 3,
+        "train_seq_len": 8, "batch_size": 4, "trajectory_input_joint_pos": True,
+        "synthetic": True, "synthetic_num_seqs": 6, "data_root": data_root,
+    }
+    vp, tp = str(tmp_path / "vae.yaml"), str(tmp_path / "traj.yaml")
+    for p, c in ((vp, vae_cfg), (tp, traj_cfg)):
+        with open(p, "w") as f:
+            yaml.safe_dump(c, f)
+
+    from hm_vae_tpu.cli.eval_recovery import main
+
+    main(["--config", vp, "--trajectory_config", tp,
+          "--output_path", str(tmp_path),
+          "--try_interpolation_w_trajectory_single_window", "--chunk", "4"])
+    out_dir = (tmp_path / "eval_interpolation_w_trajectory_single_window"
+               / "vae")
+    with open(out_dir / "summary.json") as f:
+        summary = json.load(f)
+    assert np.isfinite(summary["mpjpe"])
+    # trajectory model present -> world-space trajectories saved per sequence
+    trans = [f for f in os.listdir(out_dir)
+             if f.endswith("_root_trans_opt_res.npy")]
+    assert len(trans) == summary["num_seqs"]

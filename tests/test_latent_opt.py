@@ -220,3 +220,59 @@ def test_complete_accepts_numpy_input():
     assert out["rot_6d"].shape[0] == 15
     out2 = apps.interpolate(np.asarray(seq[:16]), jax.random.PRNGKey(23))
     assert out2["rot_6d"].shape == (16, 24, 6)
+
+
+def test_completion_prev_epochs_is_100():
+    """Completion phase-switches at prev_epochs=100 while the other tasks use
+    50 (seq_two_hier_sa_vae.py:1731 vs :1206/:1403): the apps runner must build
+    a separate completion solver whenever the two values differ."""
+    import dataclasses
+
+    model, params = _model_and_params()
+    # defaults: prev_epochs=50, prev_epochs_completion=100 -> distinct solvers
+    cfg = dataclasses.replace(CFG, latent_opt=LatentOptConfig(
+        opt_it=4, optimize_decoder=True))
+    apps = LatentOptApps(model, params, cfg)
+    assert apps.solve_completion is not apps.solve
+
+    # equal values -> the single solver is shared
+    cfg_eq = dataclasses.replace(cfg, latent_opt=dataclasses.replace(
+        cfg.latent_opt, prev_epochs_completion=cfg.latent_opt.prev_epochs))
+    apps_eq = LatentOptApps(model, params, cfg_eq)
+    assert apps_eq.solve_completion is apps_eq.solve
+
+
+def test_single_window_apps_shapes_and_masking():
+    """complete_single_window / interpolate_single_window: batched one-window
+    solves across sequences (the reference's intended single-window API,
+    trainer_motion_vae.py:214-229)."""
+    import dataclasses
+
+    model, params = _model_and_params()
+    cfg = dataclasses.replace(CFG, latent_opt=dataclasses.replace(
+        CFG.latent_opt, opt_it=6, optimize_decoder=False,
+        replace_part_with_gt=True, replace_frame_with_gt=True))
+    apps = LatentOptApps(model, params, cfg)
+    B, W = 3, 8
+    mats = jnp.stack([_rand_rotmat_seq(jax.random.PRNGKey(10 + i), W)
+                      for i in range(B)])
+
+    masks = np.ones((B, W, 24), np.float32)
+    masks[:, :, :8] = 0.0  # same 8 joints missing everywhere
+    out = apps.complete_single_window(mats, masks, jax.random.PRNGKey(3))
+    assert out["rot_6d"].shape == (B, W, 24, 6)
+    assert out["pose"].shape == (B, W, 24, 3)
+    # visible entries replaced with GT exactly
+    from hm_vae_tpu.apps.tasks import _targets_from_rotmat
+    tgt = _targets_from_rotmat(mats)
+    vis = np.asarray(out["rot_6d"])[:, :, 8:]
+    np.testing.assert_allclose(vis, np.asarray(tgt["rot_6d"])[:, :, 8:],
+                               atol=1e-6)
+
+    out_i = apps.interpolate_single_window(mats, jax.random.PRNGKey(4))
+    assert out_i["rot_mat"].shape == (B, W, 24, 3, 3)
+    # keyframes pinned to GT
+    key_frames = np.nonzero(interpolation_mask(W, 3))[0]
+    np.testing.assert_allclose(
+        np.asarray(out_i["rot_6d"])[:, key_frames],
+        np.asarray(tgt["rot_6d"])[:, key_frames], atol=1e-6)

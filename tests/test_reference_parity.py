@@ -1,0 +1,250 @@
+"""Behavioral parity against the reference's OWN running code.
+
+These tests import the actual ``seq_two_hier_sa_vae.py`` from /root/reference
+(CPU-shimmed, see ref_harness.py), transplant weights exported from this
+framework's flax init into the real ``TwoHierSAVAEModel``, and assert:
+
+1. forward losses agree on shared random batches (len-8 and len-64 configs,
+   both sides of the KL curriculum switch);
+2. parameter gradients agree (the reference computes them via
+   ``l_total.backward()`` inside forward, ``seq_two_hier_sa_vae.py:413-414``);
+3. a full multi-step Adam+StepLR training run on identical cycling batches
+   produces the same loss trajectory (reference: torch Adam(weight_decay)
+   + StepLR per ``trainer_motion_vae.py:29-35``; ours: the optax chain in
+   ``train/optim.py``).
+
+Unlike test_torch_oracle.py (a re-implementation from structure metadata),
+nothing here can share a misreading with the framework: the oracle IS the
+reference.
+"""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import jax
+import jax.numpy as jnp
+from scipy.spatial.transform import Rotation as R
+
+from ref_harness import (build_vae, deterministic_z, load_reference,
+                         make_batch_tuple, make_hp)
+
+from hm_vae_tpu.models.hm_vae import HMVAE
+from hm_vae_tpu.models.structure import get_structure
+from hm_vae_tpu.ops import rotations as rot
+from hm_vae_tpu.train.losses import hmvae_forward
+from hm_vae_tpu.train.optim import make_optimizer
+from hm_vae_tpu.utils import config as cfg_mod
+from hm_vae_tpu.utils.torch_import import export_hmvae_params
+
+LEN8 = "len8_data_aug_hm_vae.yaml"
+LEN64 = "len64_no_aug_hm_vae.yaml"
+
+
+def _random_batch(cfg, B, seed):
+    T = cfg.model.train_seq_len
+    rmats = R.random(B * T * 24, random_state=seed).as_matrix().astype(
+        np.float32).reshape(B, T, 24, 3, 3)
+    r6d = np.asarray(rot.rotmat_to_rot6d(jnp.asarray(rmats)), np.float32)
+    return {"rot_6d": jnp.asarray(r6d), "rot_mat": jnp.asarray(rmats)}, r6d, rmats
+
+
+def _setup(config_name, seed=0, **overrides):
+    """(our model+params+cfg, reference model with transplanted weights)."""
+    import dataclasses
+    cfg = cfg_mod.load_config(f"/root/reference/configs/{config_name}")
+    if overrides:
+        cfg = dataclasses.replace(
+            cfg, model=dataclasses.replace(cfg.model, **overrides))
+    model = HMVAE(cfg.model)
+    T = cfg.model.train_seq_len
+    params = model.init(jax.random.PRNGKey(seed), jnp.zeros((2, T, 24, 6)))
+
+    hp = make_hp(config_name, **overrides)
+    ref = build_vae(hp)
+    sd = {k: torch.from_numpy(np.asarray(v).copy())
+          for k, v in export_hmvae_params(params, cfg.model).items()}
+    missing, unexpected = ref.load_state_dict(sd, strict=False)
+    assert not unexpected, unexpected
+    # the reference Decoder keeps a handle to the Encoder (`self.enc = enc`,
+    # seq_two_hier_sa_vae.py:180), so state_dict aliases every encoder tensor
+    # under `dec.enc.*`; loading the `enc.*` names sets those shared tensors
+    missing = [k for k in missing if not k.startswith("dec.enc.")]
+    assert not missing, missing
+    deterministic_z(ref)
+    return model, params, cfg, ref, hp
+
+
+def _ref_losses(ref, hp, r6d, rmats, iterations, backward=False):
+    data = make_batch_tuple(torch, r6d, rmats)
+    out = ref(data, hp, iterations, multigpus=False,
+              validation_flag=not backward)
+    (l_total, l_kl, l_rec_6d, l_rec_rot, l_rec_pose) = [
+        float(x.detach()) for x in out[:5]]
+    kl_list = [float(x.detach()) for x in out[9]]
+    return dict(total=l_total, kl=l_kl, rec_6d=l_rec_6d, rec_rot=l_rec_rot,
+                rec_pose=l_rec_pose, kl_shallow=kl_list[0], kl_deep=kl_list[-1])
+
+
+def _our_losses(model, params, cfg, batch, iterations):
+    total, m = hmvae_forward(model, params, batch, jax.random.PRNGKey(1),
+                             jnp.asarray(iterations, jnp.int32), cfg,
+                             sample=False)
+    return dict(total=float(total), kl=float(m["loss_kl"]),
+                rec_6d=float(m["loss_rec_6d"]), rec_rot=float(m["loss_rec_rot"]),
+                rec_pose=float(m["loss_rec_pose"]),
+                kl_shallow=float(m["loss_hier_kl_1"]),
+                kl_deep=float(m["loss_hier_kl_4"]))
+
+
+@pytest.mark.parametrize("config_name,iters", [
+    (LEN8, 0), (LEN8, 10**6), (LEN64, 0),
+])
+def test_forward_loss_parity_vs_real_reference(config_name, iters):
+    model, params, cfg, ref, hp = _setup(config_name)
+    batch, r6d, rmats = _random_batch(cfg, B=2, seed=3)
+    theirs = _ref_losses(ref, hp, r6d, rmats, iters)
+    ours = _our_losses(model, params, cfg, batch, iters)
+    for k in theirs:
+        np.testing.assert_allclose(
+            ours[k], theirs[k], rtol=2e-4, atol=2e-6,
+            err_msg=f"{config_name} iters={iters} loss '{k}' mismatch")
+
+
+def _const_keys(cfg):
+    """State-dict keys that are derived constants (mask / pool / unpool), not
+    trainable parameters — excluded from gradient comparison."""
+    st = get_structure(cfg.model)
+    E = cfg.model.extra_conv
+    keys = set()
+    for i in range(cfg.model.num_layers):
+        for e in range(E):
+            keys.add(f"enc.layers.{i}.{e}.mask")
+        keys.add(f"enc.layers.{i}.{E}.mask")
+        keys.add(f"enc.layers.{i}.{E + 1}.weight")
+        unpool_idx = 1 if st.decoder_levels[i].upsample else 0
+        keys.add(f"dec.unpools.{i}.weight")
+        keys.add(f"dec.layers.{i}.{unpool_idx}.weight")
+        for e in range(E):
+            keys.add(f"dec.layers.{i}.{unpool_idx + 1 + e}.mask")
+        keys.add(f"dec.layers.{i}.{unpool_idx + 1 + E}.mask")
+    return keys
+
+
+def test_forward_loss_parity_extra_conv():
+    """extra_conv=1 inserts stride-1 SkeletonConvs per level in both encoder
+    and decoder (seq_two_hier_sa_vae.py:102-105, 244-249); verify against the
+    real reference with transplanted weights."""
+    model, params, cfg, ref, hp = _setup(LEN8, extra_conv=1)
+    batch, r6d, rmats = _random_batch(cfg, B=2, seed=11)
+    theirs = _ref_losses(ref, hp, r6d, rmats, 0)
+    ours = _our_losses(model, params, cfg, batch, 0)
+    for k in theirs:
+        np.testing.assert_allclose(
+            ours[k], theirs[k], rtol=2e-4, atol=2e-6,
+            err_msg=f"extra_conv=1 loss '{k}' mismatch")
+
+
+@pytest.mark.parametrize("iters,extra_conv", [(0, 0), (10**6, 0), (0, 1)])
+def test_gradient_parity_vs_real_reference(iters, extra_conv):
+    """Full-graph gradient agreement, both sides of the KL curriculum
+    (shallow z detached before iteration_interval, live after —
+    seq_two_hier_sa_vae.py:380-385)."""
+    model, params, cfg, ref, hp = _setup(LEN8, extra_conv=extra_conv)
+    batch, r6d, rmats = _random_batch(cfg, B=2, seed=7)
+
+    ref.zero_grad()
+    _ref_losses(ref, hp, r6d, rmats, iters, backward=True)
+    ref_grads = {n: p.grad.detach().numpy() for n, p in ref.named_parameters()
+                 if p.grad is not None}
+
+    def loss_fn(p):
+        total, _ = hmvae_forward(model, p, batch, jax.random.PRNGKey(1),
+                                 jnp.asarray(iters, jnp.int32), cfg,
+                                 sample=False)
+        return total
+
+    our_grads_sd = export_hmvae_params(jax.grad(loss_fn)(params), cfg.model)
+    consts = _const_keys(cfg)
+    compared = 0
+    for name, g_ref in ref_grads.items():
+        if name in consts:
+            continue
+        assert name in our_grads_sd, f"no exported grad for {name}"
+        # atol covers f32 accumulation noise on near-zero entries of the
+        # large-magnitude (O(1)-O(10)) last-decoder-level gradients
+        np.testing.assert_allclose(
+            np.asarray(our_grads_sd[name]), g_ref, rtol=5e-3, atol=2e-4,
+            err_msg=f"gradient mismatch for {name} at iters={iters}")
+        compared += 1
+    assert compared >= 16  # 8 convs + biases + 8 latent linears
+
+
+def test_training_trajectory_parity_vs_real_reference():
+    """~40 identical Adam+StepLR steps on cycling batches: loss curves of the
+    real reference and this framework must coincide step by step.
+
+    Reference optimizer per trainer_motion_vae.py:29-35 (Adam with L2
+    weight_decay) and the StepLR policy from the config; gamma switch is
+    exercised by shrinking step_size to land inside the run.
+    """
+    steps = 40
+    model, params, cfg, ref, hp = _setup(LEN8)
+    # make the LR-decay boundary land mid-run on both sides
+    hp = dict(hp, step_size=25)
+    cfg = cfg_mod.Config(
+        model=cfg.model, loss=cfg.loss,
+        optim=cfg_mod.OptimConfig(
+            lr=hp["lr"], weight_decay=hp["weight_decay"], lr_policy="step",
+            step_size=25, gamma=hp["gamma"], batch_size=4),
+        latent_opt=cfg.latent_opt, data=cfg.data, run=cfg.run)
+
+    batches = [_random_batch(cfg, B=4, seed=100 + i) for i in range(4)]
+
+    opt = torch.optim.Adam(
+        [p for p in ref.parameters() if p.requires_grad],
+        lr=hp["lr"], weight_decay=hp["weight_decay"])
+    from torch.optim import lr_scheduler
+    sched = lr_scheduler.StepLR(opt, step_size=hp["step_size"],
+                                gamma=hp["gamma"])
+    ref_curve = []
+    for it in range(steps):
+        _, r6d, rmats = batches[it % 4]
+        opt.zero_grad()
+        losses = _ref_losses(ref, hp, r6d, rmats, it, backward=True)
+        opt.step()
+        sched.step()
+        ref_curve.append(losses["total"])
+
+    tx = make_optimizer(cfg.optim)
+    opt_state = tx.init(params)
+
+    def loss_fn(p, batch, it):
+        return hmvae_forward(model, p, batch, jax.random.PRNGKey(1),
+                             jnp.asarray(it, jnp.int32), cfg, sample=False)
+
+    @jax.jit
+    def step(p, opt_state, batch, it):
+        (total, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            p, batch, it)
+        updates, opt_state = tx.update(grads, opt_state, p)
+        import optax
+        return optax.apply_updates(p, updates), opt_state, total
+
+    our_curve = []
+    for it in range(steps):
+        batch, _, _ = batches[it % 4]
+        params, opt_state, total = step(params, opt_state, batch, it)
+        our_curve.append(float(total))
+
+    # Adam normalizes gradients, so ulp-level f32 differences between the two
+    # stacks compound per step; observed drift is ~0.2% at step 40.  Gate at
+    # 1% pointwise plus a 0.3% mean-deviation bound.
+    np.testing.assert_allclose(
+        our_curve, ref_curve, rtol=1e-2, atol=1e-5,
+        err_msg="training loss trajectories diverge from the real reference")
+    rel = np.abs(np.asarray(our_curve) - ref_curve) / np.asarray(ref_curve)
+    assert rel.mean() < 3e-3, f"mean relative curve deviation {rel.mean():.2%}"
+    # loss must actually move (guard against vacuous parity on a flat curve)
+    assert ref_curve[-1] < ref_curve[0] * 0.9
