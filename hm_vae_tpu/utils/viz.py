@@ -156,9 +156,26 @@ def save_skeleton_obj(pose: np.ndarray, dest_path: str,
     return dest_path
 
 
-def save_mesh_obj(*args, **kwargs):  # pragma: no cover
-    raise NotImplementedError(
-        "SMPL mesh export needs the SMPL body model files (licensed, not "
-        "vendored). Point hm_vae_tpu at a local SMPL npz and use "
-        "save_skeleton_obj for a model-free export meanwhile."
-    )
+def save_mesh_obj(out_folder, rot_mat, root_trans, temporal_mask=None,
+                  smpl_model_path=None, betas=None):
+    """SMPL mesh export parity with ``utils_common.py:592-690``.
+
+    Needs a user-provided SMPL body model npz (the official files are
+    licensed and not vendored): pass ``smpl_model_path`` or set
+    ``HM_VAE_SMPL_MODEL``.  Without one, raises with a pointer to
+    ``save_skeleton_obj`` (the model-free fallback).
+    """
+    import os as _os
+
+    from .smpl import SMPLBodyModel, export_mesh_sequence
+
+    path = smpl_model_path or _os.environ.get("HM_VAE_SMPL_MODEL")
+    if not path:
+        raise NotImplementedError(
+            "SMPL mesh export needs the SMPL body model file (licensed, not "
+            "vendored). Pass smpl_model_path= / set HM_VAE_SMPL_MODEL to a "
+            "local SMPL npz, or use save_skeleton_obj for a model-free "
+            "export.")
+    return export_mesh_sequence(out_folder, rot_mat, root_trans,
+                                SMPLBodyModel(path),
+                                temporal_mask=temporal_mask, betas=betas)

@@ -1,5 +1,7 @@
 """Data pipeline tests: layout offsets, synthetic gen, sampling, augs."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -131,3 +133,67 @@ def test_eval_dataset_precomputed_mask_dir(data_dir, tmp_path):
     item = ds[0]
     saved = np.load(os.path.join(mask_dir, item["name"]))
     np.testing.assert_allclose(item["mask"], saved[:item["mask"].shape[0]])
+
+
+def test_mask_generation_cli(tmp_path):
+    """prep_data --gen_masks: precomputed per-frame masks for the
+    missing_joint_prob eval workflow (utils_motion_vae.py:247, 276-277)."""
+    import json
+
+    from hm_vae_tpu.cli.prep_data import main as prep_main
+    from hm_vae_tpu.data.synthetic import generate_dataset
+    from hm_vae_tpu.data.dataset import EvalMotionDataset
+
+    d = str(tmp_path / "data")
+    generate_dataset(d, num_seqs=5, seed=0)
+    prep_main(["--dest", d, "--gen_masks", "0.5", "--mask_split", "test"])
+    mask_dir = os.path.join(d, "eval_masks", "missing_prob_0.5")
+    with open(os.path.join(d, "test.json")) as f:
+        names = list(json.load(f).values())
+    assert sorted(os.listdir(mask_dir)) == sorted(names)
+    m = np.load(os.path.join(mask_dir, names[0]))
+    seq = np.load(os.path.join(d, "seqs", names[0]))
+    assert m.shape == (seq.shape[0], 24)
+    assert set(np.unique(m)) <= {0.0, 1.0}
+    assert 0.3 < m.mean() < 0.7  # ~half visible at prob 0.5
+
+    # deterministic regeneration
+    prep_main(["--dest", d, "--gen_masks", "0.5", "--mask_split", "test"])
+    np.testing.assert_array_equal(m, np.load(os.path.join(mask_dir, names[0])))
+
+    # EvalMotionDataset consumes the generated masks via mask_dir
+    ds = EvalMotionDataset(os.path.join(d, "seqs"),
+                           os.path.join(d, "test.json"), mask_dir=mask_dir)
+    item = ds[0]
+    np.testing.assert_array_equal(
+        item["mask"], np.load(os.path.join(mask_dir, item["name"])))
+
+
+def test_ordered_validation_batches_deterministic(tmp_path):
+    """ordered_batches: identical windows on every pass and across dataset
+    instances with different sampler seeds — run-comparable val curves
+    (reference's ordered val loader, train_motion_vae.py:98-110)."""
+    d = str(tmp_path / "data")
+    synthetic.generate_dataset(d, num_seqs=6, seed=0)
+    ms = np.load(os.path.join(d, "mean_std.npy")).astype(np.float32)
+
+    def mk(seed):
+        return MotionDataset(os.path.join(d, "seqs"),
+                             os.path.join(d, "val.json"), ms,
+                             train_seq_len=8, fps_aug=True,
+                             random_root_rot=True, seed=seed)
+
+    a = list(mk(1).ordered_batches(2, max_batches=3, seed=7))
+    b = list(mk(999).ordered_batches(2, max_batches=3, seed=7))
+    assert len(a) == len(b) >= 1
+    for ba, bb in zip(a, b):
+        for k in ba:
+            np.testing.assert_array_equal(ba[k], bb[k])
+
+    # consuming random batches in between must not perturb the ordered pass
+    ds = mk(1)
+    first = list(ds.ordered_batches(2, max_batches=2, seed=7))
+    ds.sample_batch(4)
+    second = list(ds.ordered_batches(2, max_batches=2, seed=7))
+    for ba, bb in zip(first, second):
+        np.testing.assert_array_equal(ba["rot_6d"], bb["rot_6d"])
