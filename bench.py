@@ -30,15 +30,54 @@ REFERENCE_CPU_SEQS_PER_SEC = 23.4  # measured: scripts/bench_reference_torch.py
 
 
 def _bench(mstep, state, batches, rng, calls, warmup, jax):
+    # NOTE: jax.block_until_ready can return early through the axon TPU
+    # relay (see BASELINE.md "Measurement trap"); a host readback of the
+    # final step's loss is the only reliable fence — the state-dependency
+    # chain forces every queued step to have completed.
     for i in range(warmup):
         state, metrics = mstep(state, batches, jax.random.fold_in(rng, i))
-    jax.block_until_ready(metrics["loss_total"])
+    float(metrics["loss_total"])
     t0 = time.perf_counter()
     for i in range(calls):
         state, metrics = mstep(state, batches,
                                jax.random.fold_in(rng, 1000 + i))
-    jax.block_until_ready(metrics["loss_total"])
+    float(metrics["loss_total"])
     return time.perf_counter() - t0, state
+
+
+def bench_end_to_end(batch: int = 64, K: int = 8, calls: int = 15):
+    """Full production path: C++ window sampler -> compact f16 wire ->
+    double-buffered device ingest -> K fused gradient steps per dispatch.
+
+    Returns seqs/s including ALL host-side work (the compute-only figures
+    above exclude the loader and transfer)."""
+    import os
+    import tempfile
+
+    import jax
+
+    from hm_vae_tpu.train.trainer import build_trainer
+    from hm_vae_tpu.utils.config import (Config, DataConfig, ModelConfig,
+                                         OptimConfig, RunConfig)
+
+    tmp = tempfile.mkdtemp(prefix="hmvae_bench_")
+    cfg = Config(
+        model=ModelConfig(latent_d=24, shallow_latent_d=12, kernel_size=15,
+                          train_seq_len=64),
+        optim=OptimConfig(batch_size=batch, max_iter=10**9),
+        data=DataConfig(synthetic=True, synthetic_num_seqs=48,
+                        data_root=os.path.join(tmp, "data"),
+                        transfer_dtype="float16", compact_transfer=True),
+        run=RunConfig(steps_per_call=K, log_iter=10**9,
+                      validation_iter=10**9, snapshot_save_iter=10**9,
+                      image_save_iter=10**9, nan_guard=False),
+    )
+    trainer, train_ds, _, _ = build_trainer(cfg, os.path.join(tmp, "run"))
+    trainer.fit(train_ds, max_iter=3 * K)  # compile + warm the pipeline
+    t0 = time.perf_counter()
+    trainer.fit(train_ds, max_iter=(3 + calls) * K)  # returns host metrics (synced)
+    dt = time.perf_counter() - t0
+    return batch * K * calls / dt
 
 
 def main(batch_size: int = 8, steps_per_call: int = 32, calls: int = 30,
@@ -75,6 +114,11 @@ def main(batch_size: int = 8, steps_per_call: int = 32, calls: int = 30,
     dt1, _ = _bench(sstep, state1, single_batch, rng, calls * 4, warmup, jax)
     single = batch_size * calls * 4 / dt1
 
+    try:
+        e2e = round(bench_end_to_end(), 2)
+    except Exception:
+        e2e = None
+
     print(json.dumps({
         "metric": "len64_hmvae_train_throughput_bs8",
         "value": round(fused, 2),
@@ -84,6 +128,7 @@ def main(batch_size: int = 8, steps_per_call: int = 32, calls: int = 30,
         "steps_per_dispatch": steps_per_call,
         "measured_reference_cpu_seqs_per_sec": REFERENCE_CPU_SEQS_PER_SEC,
         "vs_reference_cpu": round(fused / REFERENCE_CPU_SEQS_PER_SEC, 1),
+        "end_to_end_seqs_per_sec_bs64": e2e,
     }))
 
 

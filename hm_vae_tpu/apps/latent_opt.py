@@ -10,12 +10,15 @@ ONE engine:
   Python-loop dispatch overhead, and windows/restarts batch over the leading
   axis (the apps in :mod:`hm_vae_tpu.apps.tasks` exploit this);
 - the z-vs-decoder phase switch at ``prev_epochs``
-  (``seq_two_hier_sa_vae.py:1206-1226``) becomes masked optimizer-state
-  updates: both Adam states exist, only the active one advances, so each
-  StepLR schedule counts exactly its own phase's steps — the reference's
-  scheduler semantics under jit;
-- the decoder clone + L2-pull-back regulariser (``reg_w_decoder``) is a
-  functional param tree — no ``copy.deepcopy``.
+  (``seq_two_hier_sa_vae.py:1206-1226``) is a ``lax.cond`` on the scalar
+  iteration counter: each iteration runs exactly ONE fwd+bwd (w.r.t. z in the
+  z phase, w.r.t. the decoder clone after) and steps exactly one Adam — the
+  reference's semantics, and ~2x less work per iteration than computing both
+  branches and masking;
+- only the DECODER parameter subtree is cloned/optimized (the reference does
+  ``copy.deepcopy(self.dec)``, ``seq_two_hier_sa_vae.py:1685-1687`` — the
+  encoder never participates), as a functional param tree — no deepcopy, and
+  no wasted Adam/weight-decay traffic over encoder tensors.
 
 Differences from the reference kept deliberately (cited):
 - the reference *computes* min-loss outputs but returns the last iteration's
@@ -127,8 +130,9 @@ def make_latent_optimizer(model: HMVAE, cfg: Config,
         optax.scale_by_learning_rate(_steplr(lat.opt_lr * 1e-3, lat)),
     )
 
-    def decode(dec_params, z_list):
-        out6d = model.apply(dec_params, z_list, method=HMVAE.decode)
+    def decode(dec_sub, z_list):
+        # dec_sub holds ONLY the decoder subtree; encode is never called here
+        out6d = model.apply(dec_sub, z_list, method=HMVAE.decode)
         out_rotmat = rot.rot6d_to_rotmat(out6d)
         out_pose = fk_mod.fk_from_rotmat(out_rotmat, offsets)
         return out6d, out_rotmat, out_pose
@@ -164,36 +168,43 @@ def make_latent_optimizer(model: HMVAE, cfg: Config,
                 out[2], targets["root_trans"])
         return total, out
 
-    def solve(dec_params, targets, mask, z_init, z_reg_target) -> LatentOptResult:
-        orig_dec = dec_params
+    def solve(params, targets, mask, z_init, z_reg_target) -> LatentOptResult:
+        # only the decoder subtree is cloned and (optionally) fine-tuned —
+        # copy.deepcopy(self.dec) in the reference (:1685-1687)
+        dec_sub = {"params": {"decoder": params["params"]["decoder"]}}
+        orig_dec = dec_sub
         z0 = z_init
         z_opt0 = z_tx.init(z0)
-        dec_opt0 = dec_tx.init(dec_params)
-        out0 = decode(dec_params, z0)
+        dec_opt0 = dec_tx.init(dec_sub)
+        out0 = decode(dec_sub, z0)
         big = jnp.full((), jnp.inf)
+
+        def z_step(z, z_opt, dec_p, dec_opt):
+            (loss, out), gz = jax.value_and_grad(
+                total_loss, argnums=0, has_aux=True
+            )(z, dec_p, orig_dec, targets, mask, z_reg_target)
+            z_upd, z_opt = z_tx.update(gz, z_opt, z)
+            return optax.apply_updates(z, z_upd), z_opt, dec_p, dec_opt, loss, out
+
+        def dec_step(z, z_opt, dec_p, dec_opt):
+            (loss, out), gd = jax.value_and_grad(
+                total_loss, argnums=1, has_aux=True
+            )(z, dec_p, orig_dec, targets, mask, z_reg_target)
+            d_upd, dec_opt = dec_tx.update(gd, dec_opt, dec_p)
+            return z, z_opt, optax.apply_updates(dec_p, d_upd), dec_opt, loss, out
 
         def body(carry, i):
             z, z_opt, dec_p, dec_opt, best = carry
-            (loss, out), (gz, gd) = jax.value_and_grad(
-                total_loss, argnums=(0, 1), has_aux=True
-            )(z, dec_p, orig_dec, targets, mask, z_reg_target)
-
-            dec_phase = jnp.logical_and(
-                jnp.asarray(lat.optimize_decoder), i > lat.prev_epochs
-            )
-
-            # z update only in the z phase; its Adam/schedule state freezes
-            # in the decoder phase (and vice versa)
-            z_upd, z_opt_new = z_tx.update(gz, z_opt, z)
-            z_new = optax.apply_updates(z, z_upd)
-            z = _tree_where(dec_phase, z, z_new)
-            z_opt = _tree_where(dec_phase, z_opt, z_opt_new)
-
             if lat.optimize_decoder:
-                d_upd, dec_opt_new = dec_tx.update(gd, dec_opt, dec_p)
-                dec_new = optax.apply_updates(dec_p, d_upd)
-                dec_p = _tree_where(dec_phase, dec_new, dec_p)
-                dec_opt = _tree_where(dec_phase, dec_opt_new, dec_opt)
+                # exactly ONE fwd+bwd+Adam per iteration, like the reference's
+                # if i > prev_epochs: dec_opt.step() else: z_opt.step()
+                # (:1733-1751); the untaken branch doesn't execute under cond
+                z, z_opt, dec_p, dec_opt, loss, out = jax.lax.cond(
+                    i > lat.prev_epochs, dec_step, z_step,
+                    z, z_opt, dec_p, dec_opt)
+            else:
+                z, z_opt, dec_p, dec_opt, loss, out = z_step(
+                    z, z_opt, dec_p, dec_opt)
 
             best_loss, best_out = best
             better = loss < best_loss
@@ -204,7 +215,7 @@ def make_latent_optimizer(model: HMVAE, cfg: Config,
             return (z, z_opt, dec_p, dec_opt, best), (loss, out)
 
         (z, _, dec_p, _, best), (losses, outs) = jax.lax.scan(
-            body, (z0, z_opt0, dec_params, dec_opt0, (big, out0)),
+            body, (z0, z_opt0, dec_sub, dec_opt0, (big, out0)),
             jnp.arange(lat.opt_it),
         )
         last = jax.tree.map(lambda x: x[-1], outs)

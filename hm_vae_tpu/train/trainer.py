@@ -277,6 +277,19 @@ class Trainer:
                                   depth=cfg.data.num_prefetch)
         metrics = {}
         start = int(self.state.step)
+
+        def _next_super():
+            if native_super:
+                return next(it)
+            bs_list = [next(it) for _ in range(K)]
+            return jax.tree.map(lambda *xs: np.stack(xs), *bs_list)
+
+        # double-buffered ingest: the jitted copy for superbatch i+1 is issued
+        # while step i computes (jax dispatch is async — _multi_fn returns as
+        # soon as the step is enqueued, so the next host->device transfer
+        # overlaps device compute instead of serialising after it).  This
+        # hides the measured ~9 ms/14 MB relay transfer (BASELINE.md).
+        pending = None
         try:
             i = start
             while i < max_iter:
@@ -285,15 +298,17 @@ class Trainer:
                 # across the TPU relay on EVERY executable launch — measured
                 # 50ms/call vs 1.4ms; see BASELINE.md)
                 if K > 1 and i + K <= max_iter:
-                    if native_super:
-                        stacked = next(it)
-                    else:
-                        bs_list = [next(it) for _ in range(K)]
-                        stacked = jax.tree.map(
-                            lambda *xs: np.stack(xs), *bs_list)
+                    if pending is None:
+                        pending = self._ingest_multi(
+                            self._to_wire(_next_super()))
+                    cur, pending = pending, None
                     self.state, metrics = self._multi_fn(
-                        self.state, self._ingest_multi(self._to_wire(stacked)),
-                        jax.random.fold_in(rng, i))
+                        self.state, cur, jax.random.fold_in(rng, i))
+                    if i + 2 * K <= max_iter:
+                        # prefetch the next superbatch onto the device while
+                        # the step above runs
+                        pending = self._ingest_multi(
+                            self._to_wire(_next_super()))
                     i += K
                 elif native_super:
                     # tail: fewer than K steps remain but the iterator yields
