@@ -75,10 +75,22 @@ _dense_kernel_init = nn.initializers.variance_scaling(2.0, "fan_in", "normal")
 
 
 class SkeletonConv(nn.Module):
-    """Masked grouped-by-edge temporal conv over (B, C, T)."""
+    """Masked grouped-by-edge temporal conv over (B, C, T).
+
+    ``pool_matrix`` / ``unpool_matrix`` fold an adjacent constant channel map
+    into the conv weight at apply time: pool/unpool are channel-only linear
+    maps, so ``pool(conv(x)) == conv'(x)`` with ``W' = P @ (W*mask)`` and
+    ``conv(unpool(x)) == conv''(x)`` with ``W'' = (W*mask) @ U`` — exactly the
+    reference's Sequential semantics (``seq_two_hier_sa_vae.py:94-133,
+    233-260``) with one fewer op per level, a smaller conv output (pool) or
+    input (unpool), and ~40% fewer MXU FLOPs.  The fold itself is a tiny
+    matmul on the weight.  Parameters/state-dict layout are unchanged.
+    """
 
     spec: ConvSpec = None
     compute_dtype: str = "float32"
+    pool_matrix: object = None      # (Q, C_out) — SkeletonPool after the conv
+    unpool_matrix: object = None    # (C_in, P) — SkeletonUnpool before it
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -98,9 +110,16 @@ class SkeletonConv(nn.Module):
             w = w.astype(jnp.bfloat16)
             b = b.astype(jnp.bfloat16) if b is not None else None
         mask = jnp.asarray(s.mask, w.dtype)
-        return snn.skeleton_conv(
-            x, w, b, mask, s.stride, s.padding, s.padding_mode
-        )
+        wm = w * mask[:, :, None]
+        if self.unpool_matrix is not None:
+            U = jnp.asarray(self.unpool_matrix, wm.dtype)
+            wm = jnp.einsum("ock,cp->opk", wm, U)
+        if self.pool_matrix is not None:
+            P = jnp.asarray(self.pool_matrix, wm.dtype)
+            wm = jnp.einsum("qo,ock->qck", P, wm)
+            b = P @ b if b is not None else None
+        return snn.skeleton_conv_w(x, wm, b, s.stride, s.padding,
+                                   s.padding_mode)
 
 
 class Encoder(nn.Module):
@@ -122,9 +141,10 @@ class Encoder(nn.Module):
             for e, espec in enumerate(lvl.extra_convs):
                 x = SkeletonConv(espec, self.cfg.compute_dtype,
                                  name=f"conv_{i}_extra_{e}")(x)
+            # SkeletonPool folded into the conv weight (exact linear-map fusion)
             x = SkeletonConv(lvl.conv, self.cfg.compute_dtype,
+                             pool_matrix=lvl.pool_matrix,
                              name=f"conv_{i}")(x)
-            x = snn.apply_channel_matrix(x, jnp.asarray(lvl.pool_matrix, x.dtype))
             x = snn.leaky_relu(x, 0.2)
             x = x.astype(jnp.float32)  # latent heads and stats stay f32
             B = x.shape[0]
@@ -177,15 +197,24 @@ class Decoder(nn.Module):
                 b = hier_feats[i].reshape(B, pre_edges, -1, T_i)
                 x = jnp.concatenate((a, b), axis=2).reshape(B, -1, T_i)
             if lvl.upsample:
+                # on the pooled (narrower) channels — unpool commutes with the
+                # time-only upsample and is folded into the conv below
                 x = snn.upsample_linear(x, 2)
-            x = snn.apply_channel_matrix(x, jnp.asarray(lvl.unpool_matrix, x.dtype))
-            # extra_conv between the unpool and the main conv
-            # (seq_two_hier_sa_vae.py:244-249)
-            for e, espec in enumerate(lvl.extra_convs):
-                x = SkeletonConv(espec, self.cfg.compute_dtype,
-                                 name=f"conv_{i}_extra_{e}")(x)
-            x = SkeletonConv(lvl.conv, self.cfg.compute_dtype,
-                             name=f"conv_{i}")(x)
+            if lvl.extra_convs:
+                # extra_conv sits between the unpool and the main conv
+                # (seq_two_hier_sa_vae.py:244-249): materialize the unpool
+                x = snn.apply_channel_matrix(
+                    x, jnp.asarray(lvl.unpool_matrix, x.dtype))
+                for e, espec in enumerate(lvl.extra_convs):
+                    x = SkeletonConv(espec, self.cfg.compute_dtype,
+                                     name=f"conv_{i}_extra_{e}")(x)
+                x = SkeletonConv(lvl.conv, self.cfg.compute_dtype,
+                                 name=f"conv_{i}")(x)
+            else:
+                # SkeletonUnpool folded into the conv weight
+                x = SkeletonConv(lvl.conv, self.cfg.compute_dtype,
+                                 unpool_matrix=lvl.unpool_matrix,
+                                 name=f"conv_{i}")(x)
             if lvl.leaky:
                 x = snn.leaky_relu(x, 0.2)
         return x

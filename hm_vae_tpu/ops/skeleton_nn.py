@@ -57,11 +57,24 @@ def skeleton_conv(
 
     Returns (B, C_out, T_out) with T_out = (T + 2p - K)//stride + 1.
     """
+    return skeleton_conv_w(x, weight * mask[:, :, None], bias, stride,
+                           padding, padding_mode)
+
+
+def skeleton_conv_w(
+    x: jnp.ndarray,
+    weight: jnp.ndarray,
+    bias: jnp.ndarray | None,
+    stride: int,
+    padding: int,
+    padding_mode: str = "reflect",
+) -> jnp.ndarray:
+    """Temporal conv with an already-masked (possibly pool/unpool-folded)
+    weight — the kernel-level primitive behind :func:`skeleton_conv`."""
     x = pad_temporal(x, padding, padding_mode)
-    w = weight * mask[:, :, None]
     out = jax.lax.conv_general_dilated(
         x,
-        w,
+        weight,
         window_strides=(stride,),
         padding="VALID",
         dimension_numbers=("NCH", "OIH", "NCH"),
