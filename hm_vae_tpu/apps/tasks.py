@@ -298,6 +298,75 @@ class LatentOptApps:
         return acc
 
     # ------------------------------------------------------------------
+    def complete_many(self, rotmat_seqs, rng: jax.Array,
+                      missing: str = "lower"):
+        """Body-part completion of MANY long sequences, batched per window.
+
+        Windows within a sequence are inherently sequential (frame 0 pins to
+        the previous window's output, ``seq_two_hier_sa_vae.py:1626-1652``),
+        but the same window index across sequences is independent — so the
+        outer loop runs ``max_windows`` batched solves instead of
+        ``sum(windows_i)`` single-sequence solves.  Sequences shorter than the
+        current window index ride along on repeated data (fixed shapes, one
+        compile) and their padded outputs are discarded at stitch time.
+
+        rotmat_seqs: list of (T_i, 24, 3, 3) arrays.  Returns a list of dicts
+        shaped like :meth:`complete`'s output, one per input sequence.
+        """
+        lat = self.cfg.latent_opt
+        W = self.W
+        overlap = 1
+        stride = W - overlap
+        seqs = [np.asarray(s) for s in rotmat_seqs]
+        counts = [max(0, (s.shape[0] - W) // stride + 1) for s in seqs]
+        if not any(counts):
+            raise ValueError("no sequence long enough for one window")
+        n_max = max(counts)
+        B = len(seqs)
+        joint_mask = completion_joint_mask(missing)
+        fulls = [
+            {k: np.asarray(v) for k, v in _targets_from_rotmat(s).items()}
+            for s in seqs
+        ]
+
+        accs = [None] * B
+        for w in range(n_max):
+            tgt = {k: np.zeros((B, W) + fulls[0][k].shape[1:], np.float32)
+                   for k in ("rot_6d", "rot_mat", "pose")}
+            mask = np.tile(joint_mask[None, None, :], (B, W, 1))
+            for b, (full, cnt) in enumerate(zip(fulls, counts)):
+                t0 = min(w, max(cnt - 1, 0)) * stride  # clamp = repeat last
+                for k in tgt:
+                    tgt[k][b] = full[k][t0 : t0 + W]
+                if accs[b] is not None and w < cnt:
+                    mask[b, :overlap] = 1.0
+                    for k in ("rot_6d", "rot_mat", "pose"):
+                        tgt[k][b, :overlap] = np.asarray(
+                            accs[b][k][-overlap:])
+            tgt = {k: jnp.asarray(v) for k, v in tgt.items()}
+            maskj = jnp.asarray(mask)
+
+            z_init = init_z(jax.random.fold_in(rng, w), self.cfg, B)
+            z_reg = jax.tree.map(jnp.zeros_like, z_init)
+            res = self.solve_completion(self.params, tgt, maskj, z_init, z_reg)
+
+            out = {"rot_6d": res.last_6d, "rot_mat": res.last_rotmat,
+                   "pose": res.last_pose}
+            if lat.replace_part_with_gt:
+                out = {k: replace_with_target(out[k], tgt[k], maskj)
+                       for k in out}
+            for b, cnt in enumerate(counts):
+                if w >= cnt:
+                    continue
+                ob = {k: out[k][b] for k in out}
+                if accs[b] is None:
+                    accs[b] = ob
+                else:
+                    accs[b] = {k: jnp.concatenate(
+                        (accs[b][k], ob[k][overlap:]), axis=0) for k in ob}
+        return accs
+
+    # ------------------------------------------------------------------
     def generate(self, seed_rotmat: jnp.ndarray, rng: jax.Array,
                  num_windows: int = 5, overlap: int = 10) -> Dict:
         """Autoregressive long-sequence generation from a seed window.

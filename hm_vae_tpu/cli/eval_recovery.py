@@ -146,6 +146,10 @@ def main(argv=None):
         _run_single_window(args, task, apps, eval_ds, n_eval, W, rng,
                            traj_runner, output_dir)
         return
+    if task == "completion":
+        _run_completion_batched(args, apps, eval_ds, n_eval, W, rng,
+                                traj_runner, output_dir, cfg)
+        return
 
     results = []
     for i in range(n_eval):
@@ -204,6 +208,69 @@ def main(argv=None):
 
         with open(os.path.join(output_dir, "summary.json"), "w") as f:
             json.dump(summary, f, indent=2)
+
+
+def _run_completion_batched(args, apps, eval_ds, n_eval, W, rng,
+                            traj_runner, output_dir, cfg):
+    """Long-sequence completion over the test split, batched ACROSS sequences
+    per window index (apps.complete_many) — max_windows solves per chunk
+    instead of one 150-step solve per (sequence, window)."""
+    import json
+
+    import jax
+
+    from ..apps.metrics import accel_error, mpjpe
+    from ..ops import fk as fk_mod
+    from ..utils.viz import save_animation
+
+    missing = ("upper" if cfg.latent_opt.missing_upper_completion else "lower")
+    items = []
+    for i in range(n_eval):
+        it = eval_ds[i]
+        if it["rot_mat"].shape[0] >= W:
+            items.append(it)
+    if not items:
+        print("no test sequences long enough for one window")
+        return
+
+    results = []
+    for c0 in range(0, len(items), args.chunk):
+        chunk = items[c0 : c0 + args.chunk]
+        outs = apps.complete_many(
+            [it["rot_mat"] for it in chunk],
+            jax.random.fold_in(rng, 5000 + c0), missing=missing)
+        for it, out in zip(chunk, outs):
+            pose = np.asarray(out["pose"])
+            T_out = pose.shape[0]
+            gt_pose = fk_mod.fk_numpy(it["rot_mat"][:T_out])
+            m = {
+                "mpjpe": float(mpjpe(pose, gt_pose)),
+                "accel_err": float(accel_error(pose, gt_pose)),
+            }
+            name = it["name"].replace(".npy", "")
+            np.save(os.path.join(output_dir, f"{name}_rot_opt_res.npy"),
+                    np.asarray(out["rot_mat"]))
+            if traj_runner is not None:
+                world, _ = traj_runner(np.asarray(out["rot_6d"])[None])
+                np.save(os.path.join(output_dir,
+                                     f"{name}_root_trans_opt_res.npy"),
+                        np.asarray(world[0]))
+                if args.gen_vis:
+                    save_animation(np.asarray(world[0])[None],
+                                   os.path.join(output_dir, f"{name}.mp4"))
+            elif args.gen_vis:
+                save_animation(pose[None],
+                               os.path.join(output_dir, f"{name}.mp4"))
+            results.append((name, m))
+            print(name, m, flush=True)
+
+    keys = sorted({k for _, m in results for k in m})
+    summary = {k: float(np.mean([m[k] for _, m in results if k in m]))
+               for k in keys}
+    summary["num_seqs"] = len(results)
+    print("summary:", summary)
+    with open(os.path.join(output_dir, "summary.json"), "w") as f:
+        json.dump(summary, f, indent=2)
 
 
 def _run_single_window(args, task, apps, eval_ds, n_eval, W, rng,

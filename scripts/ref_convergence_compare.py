@@ -1,0 +1,127 @@
+"""Train the REAL reference and this framework side by side; compare curves.
+
+Extends tests/test_reference_parity.py's 40-step check to a few hundred
+Adam+StepLR steps on identical data: the reference's own
+``TwoHierSAVAEModel`` (CPU-shimmed, weights transplanted from the same flax
+init) against ``hmvae_forward`` + the optax chain.  Emits one JSON line with
+both loss curves' checkpoints and deviation stats; paste into PARITY.md.
+
+Usage: python scripts/ref_convergence_compare.py [--steps 400] [--batch 4]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tests"))
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=400)
+    ap.add_argument("--batch", type=int, default=4)
+    ap.add_argument("--pool", type=int, default=8, help="distinct batches cycled")
+    args = ap.parse_args()
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+    import torch
+    from scipy.spatial.transform import Rotation as R
+
+    from ref_harness import build_vae, deterministic_z, make_batch_tuple, make_hp
+    from hm_vae_tpu.models.hm_vae import HMVAE
+    from hm_vae_tpu.ops import rotations as rot
+    from hm_vae_tpu.train.losses import hmvae_forward
+    from hm_vae_tpu.train.optim import make_optimizer
+    from hm_vae_tpu.utils import config as cfg_mod
+    from hm_vae_tpu.utils.torch_import import export_hmvae_params
+
+    cfg = cfg_mod.load_config("/root/reference/configs/len8_data_aug_hm_vae.yaml")
+    hp = make_hp("len8_data_aug_hm_vae.yaml")
+    T = cfg.model.train_seq_len
+
+    model = HMVAE(cfg.model)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((2, T, 24, 6)))
+    ref = build_vae(hp)
+    sd = {k: torch.from_numpy(np.asarray(v).copy())
+          for k, v in export_hmvae_params(params, cfg.model).items()}
+    ref.load_state_dict(sd, strict=False)
+    deterministic_z(ref)
+
+    batches = []
+    for i in range(args.pool):
+        rm = R.random(args.batch * T * 24, random_state=50 + i).as_matrix()
+        rm = rm.astype(np.float32).reshape(args.batch, T, 24, 3, 3)
+        r6 = np.asarray(rot.rotmat_to_rot6d(jnp.asarray(rm)), np.float32)
+        batches.append((r6, rm))
+
+    # --- reference side (torch Adam + StepLR, trainer_motion_vae.py:29-35) ---
+    opt = torch.optim.Adam([p for p in ref.parameters() if p.requires_grad],
+                           lr=hp["lr"], weight_decay=hp["weight_decay"])
+    from torch.optim import lr_scheduler
+    sched = lr_scheduler.StepLR(opt, step_size=hp["step_size"],
+                                gamma=hp["gamma"])
+    t0 = time.perf_counter()
+    ref_curve = []
+    for it in range(args.steps):
+        r6, rm = batches[it % args.pool]
+        data = make_batch_tuple(torch, r6, rm)
+        opt.zero_grad()
+        out = ref(data, hp, it, multigpus=False, validation_flag=False)
+        opt.step()
+        sched.step()
+        ref_curve.append(float(out[0].detach()))
+    t_ref = time.perf_counter() - t0
+
+    # --- framework side ---
+    tx = make_optimizer(cfg.optim)
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def step(p, o, batch, it):
+        def loss(pp):
+            total, _ = hmvae_forward(model, pp, batch, jax.random.PRNGKey(1),
+                                     jnp.asarray(it, jnp.int32), cfg,
+                                     sample=False)
+            return total
+        total, g = jax.value_and_grad(loss)(p)
+        u, o = tx.update(g, o, p)
+        return optax.apply_updates(p, u), o, total
+
+    jb = [{"rot_6d": jnp.asarray(r6), "rot_mat": jnp.asarray(rm)}
+          for r6, rm in batches]
+    t0 = time.perf_counter()
+    our_curve = []
+    for it in range(args.steps):
+        params, opt_state, total = step(params, opt_state, jb[it % args.pool], it)
+        our_curve.append(float(total))
+    t_ours = time.perf_counter() - t0
+
+    ref_c = np.asarray(ref_curve)
+    our_c = np.asarray(our_curve)
+    rel = np.abs(our_c - ref_c) / np.abs(ref_c)
+    marks = sorted({0, 1, args.steps // 4, args.steps // 2, args.steps - 1})
+    print(json.dumps({
+        "steps": args.steps, "batch": args.batch,
+        "checkpoints": {str(m): {"ref": round(float(ref_c[m]), 5),
+                                 "ours": round(float(our_c[m]), 5)}
+                        for m in marks},
+        "max_rel_dev": round(float(rel.max()), 5),
+        "mean_rel_dev": round(float(rel.mean()), 5),
+        "final_ratio": round(float(our_c[-1] / ref_c[-1]), 5),
+        "loss_drop_ref": round(float(ref_c[0] / ref_c[-1]), 3),
+        "ref_s_per_step": round(t_ref / args.steps, 4),
+        "ours_s_per_step_cpu": round(t_ours / args.steps, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

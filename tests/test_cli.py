@@ -212,3 +212,38 @@ def test_eval_interpolation_single_window_cli(tmp_path):
     trans = [f for f in os.listdir(out_dir)
              if f.endswith("_root_trans_opt_res.npy")]
     assert len(trans) == summary["num_seqs"]
+
+
+def test_eval_completion_long_seq_cli_batched(tmp_path):
+    """--final_motion_completion_long_seq over the full test split: the
+    batched-across-sequences completion path (apps.complete_many)."""
+    import yaml
+
+    data_root = str(tmp_path / "data")
+    cfg = {
+        "model_name": "TwoHierSAVAEModel", "latent_d": 6, "shallow_latent_d": 6,
+        "kernel_size": 3, "train_seq_len": 8, "batch_size": 4,
+        "synthetic": True, "synthetic_num_seqs": 6, "data_root": data_root,
+        "opt_it": 6, "opt_lr": 0.1, "opt_step_size": 3,
+        "optimize_decoder": False, "replace_part_with_gt": True,
+        "missing_lower_completion": True,
+    }
+    cfg_path = str(tmp_path / "comp.yaml")
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(cfg, f)
+
+    from hm_vae_tpu.cli.eval_recovery import main
+
+    main(["--config", cfg_path, "--output_path", str(tmp_path),
+          "--final_motion_completion_long_seq", "--chunk", "4"])
+    out_dir = tmp_path / "eval_long_seq_completion" / "comp"
+    with open(out_dir / "summary.json") as f:
+        summary = json.load(f)
+    assert np.isfinite(summary["mpjpe"])
+    rots = [f for f in os.listdir(out_dir) if f.endswith("_rot_opt_res.npy")]
+    assert len(rots) == summary["num_seqs"] >= 1
+    # stitched output spans all full windows of each sequence
+    import glob
+    arr = np.load(sorted(glob.glob(str(out_dir / "*_rot_opt_res.npy")))[0])
+    assert arr.ndim == 4 and arr.shape[1:] == (24, 3, 3)
+    assert arr.shape[0] >= 8

@@ -276,3 +276,35 @@ def test_single_window_apps_shapes_and_masking():
     np.testing.assert_allclose(
         np.asarray(out_i["rot_6d"])[:, key_frames],
         np.asarray(tgt["rot_6d"])[:, key_frames], atol=1e-6)
+
+
+def test_complete_many_batches_across_sequences():
+    """complete_many: same contract as per-sequence complete(), solving one
+    batched window-index at a time across sequences of different lengths."""
+    import dataclasses
+
+    model, params = _model_and_params()
+    cfg = dataclasses.replace(CFG, latent_opt=dataclasses.replace(
+        CFG.latent_opt, opt_it=6, optimize_decoder=False,
+        replace_part_with_gt=True))
+    apps = LatentOptApps(model, params, cfg)
+    W = 8
+    # lengths: 1, 2 and 3 windows at stride W-1
+    lens = [W, W + (W - 1), W + 2 * (W - 1)]
+    seqs = [np.asarray(_rand_rotmat_seq(jax.random.PRNGKey(40 + i), L))
+            for i, L in enumerate(lens)]
+    outs = apps.complete_many(seqs, jax.random.PRNGKey(5), missing="lower")
+    assert len(outs) == 3
+    for L, out in zip(lens, outs):
+        assert out["pose"].shape == (L, 24, 3)
+        assert np.isfinite(np.asarray(out["pose"])).all()
+    # visible (upper-body) joints replaced with GT on every window
+    from hm_vae_tpu.apps.tasks import completion_joint_mask
+    jm = completion_joint_mask("lower")
+    vis = np.nonzero(jm)[0]
+    from hm_vae_tpu.ops import rotations as rot
+    for seq, out in zip(seqs, outs):
+        T_out = out["rot_6d"].shape[0]
+        gt6 = np.asarray(rot.rotmat_to_rot6d(jnp.asarray(seq[:T_out])))
+        np.testing.assert_allclose(
+            np.asarray(out["rot_6d"])[:, vis], gt6[:, vis], atol=1e-5)
