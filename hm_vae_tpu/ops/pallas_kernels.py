@@ -170,11 +170,19 @@ def benchmark_against_xla(level_shapes=None, iters: int = 50):
         assert err <= 0.02 * max(scale, 1.0), (name, err, scale)
 
         def t(f):
-            jax.block_until_ready(f(x))
+            # block_until_ready can return early through the axon relay
+            # (BASELINE.md measurement trap): chain the calls through a
+            # carried scalar so one final device->host readback fences ALL
+            # of them, without paying a relay round-trip per call
+            def chained(xx):
+                def body(s, _):
+                    return s + f(xx + 0.0 * s).sum(), None
+                s, _ = jax.lax.scan(body, jnp.zeros(()), None, length=iters)
+                return s
+            cj = jax.jit(chained)
+            float(cj(x))
             t0 = time.perf_counter()
-            for _ in range(iters):
-                r = f(x)
-            jax.block_until_ready(r)
+            float(cj(x))
             return (time.perf_counter() - t0) / iters * 1e3
 
         results[name] = (t(f_pallas), t(f_xla), err)
