@@ -22,8 +22,13 @@ ONE engine:
 
 Differences from the reference kept deliberately (cited):
 - the reference *computes* min-loss outputs but returns the last iteration's
-  (``seq_two_hier_sa_vae.py:1228-1236`` vs ``:1234``); both are returned here
-  (``best_*`` and ``last_*``) and the apps use ``last`` for parity.
+  (``seq_two_hier_sa_vae.py:1753-1757`` vs ``:1759``); the apps use ``last``
+  for parity, so min-loss tracking is behind ``LatentOptConfig.track_best``
+  (default off — it costs an output-tree select per iteration); with it off,
+  ``best_*`` alias ``last_*``.
+- the scan carries optimizer state only and the final iteration runs outside
+  it: stacking per-iteration output trees (the naive formulation) wrote
+  ``opt_it x (B,T,24,..)`` arrays to HBM that nothing read.
 """
 
 from __future__ import annotations
@@ -176,7 +181,7 @@ def make_latent_optimizer(model: HMVAE, cfg: Config,
         z0 = z_init
         z_opt0 = z_tx.init(z0)
         dec_opt0 = dec_tx.init(dec_sub)
-        out0 = decode(dec_sub, z0)
+        out0 = decode(dec_sub, z0) if lat.track_best else None
         big = jnp.full((), jnp.inf)
 
         def z_step(z, z_opt, dec_p, dec_opt):
@@ -193,33 +198,49 @@ def make_latent_optimizer(model: HMVAE, cfg: Config,
             d_upd, dec_opt = dec_tx.update(gd, dec_opt, dec_p)
             return z, z_opt, optax.apply_updates(dec_p, d_upd), dec_opt, loss, out
 
-        def body(carry, i):
-            z, z_opt, dec_p, dec_opt, best = carry
+        def iteration(z, z_opt, dec_p, dec_opt, i):
             if lat.optimize_decoder:
                 # exactly ONE fwd+bwd+Adam per iteration, like the reference's
                 # if i > prev_epochs: dec_opt.step() else: z_opt.step()
                 # (:1733-1751); the untaken branch doesn't execute under cond
-                z, z_opt, dec_p, dec_opt, loss, out = jax.lax.cond(
-                    i > lat.prev_epochs, dec_step, z_step,
-                    z, z_opt, dec_p, dec_opt)
-            else:
-                z, z_opt, dec_p, dec_opt, loss, out = z_step(
-                    z, z_opt, dec_p, dec_opt)
+                return jax.lax.cond(i > lat.prev_epochs, dec_step, z_step,
+                                    z, z_opt, dec_p, dec_opt)
+            return z_step(z, z_opt, dec_p, dec_opt)
 
-            best_loss, best_out = best
-            better = loss < best_loss
-            best = (
-                jnp.where(better, loss, best_loss),
-                _tree_where(better, out, best_out),
-            )
-            return (z, z_opt, dec_p, dec_opt, best), (loss, out)
+        def body(carry, i):
+            z, z_opt, dec_p, dec_opt, best = carry
+            z, z_opt, dec_p, dec_opt, loss, out = iteration(
+                z, z_opt, dec_p, dec_opt, i)
+            if lat.track_best:
+                best_loss, best_out = best
+                better = loss < best_loss
+                best = (
+                    jnp.where(better, loss, best_loss),
+                    _tree_where(better, out, best_out),
+                )
+            # carry-only scan: stacking every iteration's output tree would
+            # write opt_it x (B,T,24,{6,9,3}) arrays to HBM for nothing — only
+            # the LAST iteration's outputs are returned (the reference's
+            # behavior), so that iteration runs outside the scan below
+            return (z, z_opt, dec_p, dec_opt, best), loss
 
-        (z, _, dec_p, _, best), (losses, outs) = jax.lax.scan(
-            body, (z0, z_opt0, dec_sub, dec_opt0, (big, out0)),
-            jnp.arange(lat.opt_it),
+        best0 = (big, out0) if lat.track_best else ()
+        (z, z_opt, dec_p, dec_opt, best), losses = jax.lax.scan(
+            body, (z0, z_opt0, dec_sub, dec_opt0, best0),
+            jnp.arange(lat.opt_it - 1),
         )
-        last = jax.tree.map(lambda x: x[-1], outs)
-        best_loss, best_out = best
+        # final iteration explicitly: its forward's outputs are the result
+        # (seq_two_hier_sa_vae.py:1759-1780 uses the last loop iteration's
+        # opt_out_*, computed before that iteration's optimizer step)
+        z, z_opt, dec_p, dec_opt, loss_last, last = iteration(
+            z, z_opt, dec_p, dec_opt, jnp.asarray(lat.opt_it - 1))
+        losses = jnp.concatenate([losses, loss_last[None]])
+        if lat.track_best:
+            best_loss, best_out = best
+            better = loss_last < best_loss
+            best_out = _tree_where(better, last, best_out)
+        else:
+            best_out = last
 
         # per-sample final masked reconstruction loss (same weighting as the
         # objective, minus regularisers) — used for restart selection

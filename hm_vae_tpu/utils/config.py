@@ -101,6 +101,10 @@ class LatentOptConfig:
     # (prev_epochs in seq_two_hier_sa_vae.py:1206/1403 vs :1731)
     prev_epochs: int = 50
     prev_epochs_completion: int = 100
+    # also materialize the min-loss iteration's outputs (the reference tracks
+    # them, seq_two_hier_sa_vae.py:1753-1757, but RETURNS the last iteration's
+    # — so this defaults off; enabling costs one output-tree select/iteration)
+    track_best: bool = False
 
 
 @dataclasses.dataclass(frozen=True)
