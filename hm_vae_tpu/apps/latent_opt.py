@@ -124,14 +124,18 @@ def make_latent_optimizer(model: HMVAE, cfg: Config,
             rel_gt = jnp.diff(gt_root_trans[:, _key], axis=1)
             return jnp.mean((rel_pred - rel_gt) ** 2)
 
+    # the decoder fine-tune phase is HBM-bound on decoder weight+moment
+    # traffic; moment_dtype="bfloat16" (LatentOptConfig) halves the moment
+    # share with tested update precision (tests/test_train_step.py)
+    from ..train.optim import scale_by_adam_stored
     z_tx = optax.chain(
         optax.add_decayed_weights(cfg.optim.weight_decay),
-        optax.scale_by_adam(),
+        scale_by_adam_stored(moment_dtype=lat.moment_dtype),
         optax.scale_by_learning_rate(_steplr(lat.opt_lr, lat)),
     )
     dec_tx = optax.chain(
         optax.add_decayed_weights(cfg.optim.weight_decay),
-        optax.scale_by_adam(),
+        scale_by_adam_stored(moment_dtype=lat.moment_dtype),
         optax.scale_by_learning_rate(_steplr(lat.opt_lr * 1e-3, lat)),
     )
 

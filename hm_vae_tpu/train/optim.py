@@ -10,11 +10,63 @@ Parity notes:
 
 from __future__ import annotations
 
-from typing import Sequence
+from typing import NamedTuple, Sequence
 
+import chex
+import jax
+import jax.numpy as jnp
 import optax
 
 from ..utils.config import OptimConfig
+
+
+class ScaleByAdamState(NamedTuple):
+    count: chex.Array
+    mu: chex.PyTreeDef
+    nu: chex.PyTreeDef
+
+
+def scale_by_adam_stored(b1: float = 0.9, b2: float = 0.999,
+                         eps: float = 1e-8,
+                         moment_dtype: str = "float32"):
+    """``optax.scale_by_adam`` with BOTH moments stored in ``moment_dtype``.
+
+    At ``float32`` this matches ``optax.scale_by_adam`` exactly (same update
+    expression and bias correction; verified by ``tests/test_train_step.py``).
+    ``bfloat16`` halves the optimizer-state HBM traffic — the dominant cost of
+    the bs-8 step (BASELINE.md) — computing the update in f32 from the
+    rounded moments.
+    """
+    dt = jnp.dtype(moment_dtype)
+
+    def init(params):
+        mu = jax.tree.map(lambda p: jnp.zeros_like(p, dtype=dt), params)
+        nu = jax.tree.map(lambda p: jnp.zeros_like(p, dtype=dt), params)
+        return ScaleByAdamState(jnp.zeros((), jnp.int32), mu, nu)
+
+    def update(updates, state, params=None):
+        del params
+        count = state.count + 1
+        c1 = 1 - b1 ** count.astype(jnp.float32)
+        c2 = 1 - b2 ** count.astype(jnp.float32)
+
+        def one(g, m, v):
+            g32 = g.astype(jnp.float32)
+            m32 = b1 * m.astype(jnp.float32) + (1 - b1) * g32
+            v32 = b2 * v.astype(jnp.float32) + (1 - b2) * g32 * g32
+            u = (m32 / c1) / (jnp.sqrt(v32 / c2) + eps)
+            return u.astype(g.dtype), m32.astype(dt), v32.astype(dt)
+
+        out = jax.tree.map(one, updates, state.mu, state.nu)
+        upd = jax.tree.map(lambda t: t[0], out,
+                           is_leaf=lambda t: isinstance(t, tuple))
+        mu = jax.tree.map(lambda t: t[1], out,
+                          is_leaf=lambda t: isinstance(t, tuple))
+        nu = jax.tree.map(lambda t: t[2], out,
+                          is_leaf=lambda t: isinstance(t, tuple))
+        return upd, ScaleByAdamState(count, mu, nu)
+
+    return optax.GradientTransformation(init, update)
 
 
 def make_schedule(cfg: OptimConfig) -> optax.Schedule:
@@ -37,7 +89,8 @@ def make_optimizer(cfg: OptimConfig) -> optax.GradientTransformation:
     parts = []
     if cfg.weight_decay:
         parts.append(optax.add_decayed_weights(cfg.weight_decay))
-    parts.append(optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8))
+    parts.append(scale_by_adam_stored(b1=0.9, b2=0.999, eps=1e-8,
+                                      moment_dtype=cfg.moment_dtype))
     parts.append(optax.scale_by_learning_rate(make_schedule(cfg)))
     return optax.chain(*parts)
 

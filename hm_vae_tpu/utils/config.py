@@ -75,6 +75,12 @@ class OptimConfig:
     gamma: float = 0.3
     max_iter: int = 250000
     batch_size: int = 8
+    # Adam moment storage dtype.  The bs-8 train step is parameter-HBM-traffic
+    # bound (see BASELINE.md round-2 decomposition); "bfloat16" halves the
+    # moment traffic (~100 MB/step on the len-64 model) at a small, tested
+    # cost in update precision.  "float32" (default) is bit-exact with the
+    # torch Adam chain.
+    moment_dtype: str = "float32"
 
 
 @dataclasses.dataclass(frozen=True)
@@ -92,6 +98,8 @@ class LatentOptConfig:
     interpolation_window: int = 5
     optimize_decoder: bool = True
     optimize_trajectory: bool = False
+    # Adam moment storage dtype for the solver (see OptimConfig.moment_dtype)
+    moment_dtype: str = "float32"
     replace_frame_with_gt: bool = True
     replace_part_with_gt: bool = True
     missing_upper_completion: bool = False

@@ -62,6 +62,75 @@ def test_optimizer_matches_torch_adam_l2():
     np.testing.assert_allclose(np.asarray(params), tw.detach().numpy(), atol=1e-4)
 
 
+def test_stored_adam_matches_optax_chain_f32():
+    """scale_by_adam_stored(float32) must reproduce optax.scale_by_adam."""
+    from hm_vae_tpu.train.optim import scale_by_adam_stored
+
+    key = jax.random.PRNGKey(0)
+    tree = {
+        "a": jax.random.normal(key, (17, 5)),
+        "b": {"c": jax.random.normal(jax.random.fold_in(key, 1), (33,))},
+    }
+    ref = optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8)
+    new = scale_by_adam_stored(moment_dtype="float32")
+    sr, sn = ref.init(tree), new.init(tree)
+    p_ref = p_new = tree
+    for i in range(7):
+        g = jax.tree.map(
+            lambda x: x * (0.01 * (i + 1)), tree)
+        ur, sr = ref.update(g, sr, p_ref)
+        un, sn = new.update(g, sn, p_new)
+        for a, b in zip(jax.tree.leaves(ur), jax.tree.leaves(un)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_bf16_moments_track_f32_training():
+    """moment_dtype=bfloat16 (the HBM-traffic perf mode) must follow the f32
+    loss trajectory on a short real training run."""
+    import dataclasses
+
+    def run(moment_dtype):
+        cfg = dataclasses.replace(
+            TINY, optim=dataclasses.replace(TINY.optim, lr=1e-3,
+                                            moment_dtype=moment_dtype))
+        model = HMVAE(cfg.model)
+        state = create_state(model, cfg, jax.random.PRNGKey(0))
+        step_fn = jax.jit(make_train_step(model, cfg))
+        batch = synth_batch(jax.random.PRNGKey(1), 4, 8)
+        losses = []
+        for i in range(40):
+            state, metrics = step_fn(state, batch, jax.random.PRNGKey(100 + i))
+            losses.append(float(metrics["loss_total"]))
+        return np.asarray(losses)
+
+    f32 = run("float32")
+    bf16 = run("bfloat16")
+    # training converges, and the converged loss plateau matches f32's —
+    # pointwise trajectory comparison is meaningless (optimization is
+    # chaotic under any perturbation), plateau statistics are the signal
+    assert bf16[-1] < f32[0] * 0.9
+    assert abs(bf16[-10:].mean() - f32[-10:].mean()) < 0.15 * f32[-10:].mean()
+
+
+def test_bf16_moments_update_precision():
+    """A single Adam update from bf16-stored moments stays within bf16
+    rounding (~0.5%) of the f32 update."""
+    from hm_vae_tpu.train.optim import scale_by_adam_stored
+
+    key = jax.random.PRNGKey(3)
+    tree = jax.random.normal(key, (4096,))
+    f32 = scale_by_adam_stored(moment_dtype="float32")
+    b16 = scale_by_adam_stored(moment_dtype="bfloat16")
+    s32, s16 = f32.init(tree), b16.init(tree)
+    for i in range(5):
+        g = jax.random.normal(jax.random.fold_in(key, i), (4096,)) * 0.1
+        u32, s32 = f32.update(g, s32)
+        u16, s16 = b16.update(g, s16)
+    err = np.abs(np.asarray(u16) - np.asarray(u32))
+    scale = np.abs(np.asarray(u32)) + 1e-8
+    assert np.median(err / scale) < 0.01, float(np.median(err / scale))
+
+
 def test_kl_normal_zero_at_standard():
     mu = jnp.zeros((4, 6))
     logvar = jnp.zeros((4, 6))
