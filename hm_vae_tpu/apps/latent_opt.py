@@ -184,60 +184,80 @@ def make_latent_optimizer(model: HMVAE, cfg: Config,
         orig_dec = dec_sub
         z0 = z_init
         z_opt0 = z_tx.init(z0)
-        dec_opt0 = dec_tx.init(dec_sub)
         out0 = decode(dec_sub, z0) if lat.track_best else None
         big = jnp.full((), jnp.inf)
 
-        def z_step(z, z_opt, dec_p, dec_opt):
+        def z_step(z, z_opt, dec_p, z_count):
+            # z_tx's LR schedule counts only z steps (matching the separate
+            # torch Adam/StepLR pair, seq_two_hier_sa_vae.py:1162-1166); the
+            # state's own count is used, z_count is for bookkeeping only
             (loss, out), gz = jax.value_and_grad(
                 total_loss, argnums=0, has_aux=True
             )(z, dec_p, orig_dec, targets, mask, z_reg_target)
             z_upd, z_opt = z_tx.update(gz, z_opt, z)
-            return optax.apply_updates(z, z_upd), z_opt, dec_p, dec_opt, loss, out
+            return optax.apply_updates(z, z_upd), z_opt, loss, out
 
-        def dec_step(z, z_opt, dec_p, dec_opt):
+        def dec_step(z, dec_p, dec_opt):
             (loss, out), gd = jax.value_and_grad(
                 total_loss, argnums=1, has_aux=True
             )(z, dec_p, orig_dec, targets, mask, z_reg_target)
             d_upd, dec_opt = dec_tx.update(gd, dec_opt, dec_p)
-            return z, z_opt, optax.apply_updates(dec_p, d_upd), dec_opt, loss, out
+            return optax.apply_updates(dec_p, d_upd), dec_opt, loss, out
 
-        def iteration(z, z_opt, dec_p, dec_opt, i):
-            if lat.optimize_decoder:
-                # exactly ONE fwd+bwd+Adam per iteration, like the reference's
-                # if i > prev_epochs: dec_opt.step() else: z_opt.step()
-                # (:1733-1751); the untaken branch doesn't execute under cond
-                return jax.lax.cond(i > lat.prev_epochs, dec_step, z_step,
-                                    z, z_opt, dec_p, dec_opt)
-            return z_step(z, z_opt, dec_p, dec_opt)
+        def track(best, loss, out):
+            if not lat.track_best:
+                return best
+            best_loss, best_out = best
+            better = loss < best_loss
+            return (jnp.where(better, loss, best_loss),
+                    _tree_where(better, out, best_out))
 
-        def body(carry, i):
-            z, z_opt, dec_p, dec_opt, best = carry
-            z, z_opt, dec_p, dec_opt, loss, out = iteration(
-                z, z_opt, dec_p, dec_opt, i)
-            if lat.track_best:
-                best_loss, best_out = best
-                better = loss < best_loss
-                best = (
-                    jnp.where(better, loss, best_loss),
-                    _tree_where(better, out, best_out),
-                )
-            # carry-only scan: stacking every iteration's output tree would
-            # write opt_it x (B,T,24,{6,9,3}) arrays to HBM for nothing — only
-            # the LAST iteration's outputs are returned (the reference's
-            # behavior), so that iteration runs outside the scan below
-            return (z, z_opt, dec_p, dec_opt, best), loss
+        # The z-vs-decoder switch at prev_epochs
+        # (seq_two_hier_sa_vae.py:1733-1751: iterations 0..prev_epochs step
+        # Adam(z), the rest step Adam(decoder clone)) is STATIC config, so the
+        # loop splits into two scans instead of a per-iteration lax.cond:
+        # during the z phase the decoder params are a closure constant and
+        # XLA's loop-invariant code motion hoists the mask+pool-fold weight
+        # prep out of the loop entirely; each scan carries only its own
+        # optimizer state.  The final iteration runs outside the scans — its
+        # forward's outputs are the result (:1759-1780).
+        n_scan = lat.opt_it - 1
+        n_z = min(lat.prev_epochs + 1, n_scan) if lat.optimize_decoder \
+            else n_scan
 
         best0 = (big, out0) if lat.track_best else ()
-        (z, z_opt, dec_p, dec_opt, best), losses = jax.lax.scan(
-            body, (z0, z_opt0, dec_sub, dec_opt0, best0),
-            jnp.arange(lat.opt_it - 1),
-        )
-        # final iteration explicitly: its forward's outputs are the result
-        # (seq_two_hier_sa_vae.py:1759-1780 uses the last loop iteration's
-        # opt_out_*, computed before that iteration's optimizer step)
-        z, z_opt, dec_p, dec_opt, loss_last, last = iteration(
-            z, z_opt, dec_p, dec_opt, jnp.asarray(lat.opt_it - 1))
+
+        def z_body(carry, _):
+            z, z_opt, best = carry
+            z, z_opt, loss, out = z_step(z, z_opt, dec_sub, None)
+            return (z, z_opt, track(best, loss, out)), loss
+
+        (z, z_opt, best), losses_z = jax.lax.scan(
+            z_body, (z0, z_opt0, best0), None, length=n_z)
+
+        if lat.optimize_decoder and n_scan > n_z:
+            dec_opt0 = dec_tx.init(dec_sub)
+
+            def dec_body(carry, _):
+                dec_p, dec_opt, best = carry
+                dec_p, dec_opt, loss, out = dec_step(z, dec_p, dec_opt)
+                return (dec_p, dec_opt, track(best, loss, out)), loss
+
+            (dec_p, dec_opt, best), losses_d = jax.lax.scan(
+                dec_body, (dec_sub, dec_opt0, best0 if n_z == 0 else best),
+                None, length=n_scan - n_z)
+            losses = jnp.concatenate([losses_z, losses_d])
+        else:
+            dec_p, dec_opt = dec_sub, None
+            losses = losses_z
+
+        # final iteration explicitly (phase is static too)
+        if lat.optimize_decoder and (lat.opt_it - 1) > lat.prev_epochs:
+            if dec_opt is None:
+                dec_opt = dec_tx.init(dec_p)
+            dec_p, dec_opt, loss_last, last = dec_step(z, dec_p, dec_opt)
+        else:
+            z, z_opt, loss_last, last = z_step(z, z_opt, dec_p, None)
         losses = jnp.concatenate([losses, loss_last[None]])
         if lat.track_best:
             best_loss, best_out = best
