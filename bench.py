@@ -46,8 +46,9 @@ def _bench(mstep, state, batches, rng, calls, warmup, jax):
 
 
 def bench_end_to_end(batch: int = 64, K: int = 8, calls: int = 15):
-    """Full production path: C++ window sampler -> compact f16 wire ->
-    double-buffered device ingest -> K fused gradient steps per dispatch.
+    """Full production path: C++ window sampler -> compact f16 rot6d wire
+    (device-side Gram-Schmidt rotmat reconstruction) -> double-buffered
+    device ingest -> K fused gradient steps per dispatch.
 
     Returns seqs/s including ALL host-side work (the compute-only figures
     above exclude the loader and transfer)."""
@@ -67,7 +68,8 @@ def bench_end_to_end(batch: int = 64, K: int = 8, calls: int = 15):
         optim=OptimConfig(batch_size=batch, max_iter=10**9),
         data=DataConfig(synthetic=True, synthetic_num_seqs=48,
                         data_root=os.path.join(tmp, "data"),
-                        transfer_dtype="float16", compact_transfer=True),
+                        transfer_dtype="float16", compact_transfer=True,
+                        wire_format="rot6d"),
         run=RunConfig(steps_per_call=K, log_iter=10**9,
                       validation_iter=10**9, snapshot_save_iter=10**9,
                       image_save_iter=10**9, nan_guard=False),
@@ -78,6 +80,45 @@ def bench_end_to_end(batch: int = 64, K: int = 8, calls: int = 15):
     trainer.fit(train_ds, max_iter=(3 + calls) * K)  # returns host metrics (synced)
     dt = time.perf_counter() - t0
     return batch * K * calls / dt
+
+
+def bench_latent_opt(windows: int = 10) -> float:
+    """The flagship application: temporal interpolation by test-time latent
+    optimization (150 Adam steps incl. decoder fine-tune after 50), all
+    windows in one batched jitted solve.  Returns ms per solve (isolated
+    call, i.e. including one dispatch round-trip — the user-facing figure)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from hm_vae_tpu.apps.latent_opt import init_z, make_latent_optimizer
+    from hm_vae_tpu.apps.tasks import _targets_from_rotmat, interpolation_mask
+    from hm_vae_tpu.models.hm_vae import HMVAE
+    from hm_vae_tpu.ops import rotations as rot
+    from hm_vae_tpu.utils.config import Config, LatentOptConfig, ModelConfig
+
+    cfg = Config(
+        model=ModelConfig(latent_d=24, shallow_latent_d=12, kernel_size=15,
+                          train_seq_len=64),
+        latent_opt=LatentOptConfig(opt_it=150, opt_lr=0.1, opt_step_size=50,
+                                   prev_epochs=50, optimize_decoder=True,
+                                   interpolation_window=5))
+    model = HMVAE(cfg.model)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 24, 6)))
+    aa = jax.random.normal(jax.random.PRNGKey(1), (windows, 64, 24, 3)) * 0.3
+    targets = _targets_from_rotmat(rot.aa_to_rotmat(aa))
+    tmask = np.asarray(interpolation_mask(64, 5))
+    mask = jnp.asarray(np.tile(tmask[None, :, None], (windows, 1, 24)))
+    z = init_z(jax.random.PRNGKey(2), cfg, windows)
+    zr = jax.tree.map(jnp.zeros_like, z)
+    solve = make_latent_optimizer(model, cfg)
+    float(solve(params, targets, mask, z, zr).final_loss.sum())  # compile
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(solve(params, targets, mask, z, zr).final_loss.sum())
+        best = min(best, time.perf_counter() - t0)
+    return best * 1e3
 
 
 def main(batch_size: int = 8, steps_per_call: int = 32, calls: int = 30,
@@ -131,6 +172,10 @@ def main(batch_size: int = 8, steps_per_call: int = 32, calls: int = 30,
         e2e = round(bench_end_to_end(), 2)
     except Exception:
         e2e = None
+    try:
+        lo_ms = round(bench_latent_opt(), 1)
+    except Exception:
+        lo_ms = None
 
     print(json.dumps({
         "metric": "len64_hmvae_train_throughput_bs8",
@@ -143,6 +188,7 @@ def main(batch_size: int = 8, steps_per_call: int = 32, calls: int = 30,
         "measured_reference_cpu_seqs_per_sec": REFERENCE_CPU_SEQS_PER_SEC,
         "vs_reference_cpu": round(fused / REFERENCE_CPU_SEQS_PER_SEC, 1),
         "end_to_end_seqs_per_sec_bs64": e2e,
+        "latent_opt_interp_10win_solve_ms": lo_ms,
     }))
 
 

@@ -76,6 +76,11 @@ def get_library():
         ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_uint64,
         ctypes.c_int, ctypes.POINTER(ctypes.c_float),
         ctypes.POINTER(ctypes.c_float), ctypes.c_int]
+    lib.ml_sample_compact_slice_mt.argtypes = [
+        ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_uint64,
+        ctypes.c_int, ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int,
+        ctypes.c_int64, ctypes.c_int64]
     lib.ml_start_prefetch.argtypes = [
         ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ctypes.c_int, ctypes.c_uint64, ctypes.c_int,
@@ -174,48 +179,61 @@ class NativeMotionLoader:
 
     def sample_compact(self, batch_size: int, need_root_v: bool = False,
                        threads: int = 8,
-                       out: Optional[Dict[str, np.ndarray]] = None
-                       ) -> Dict[str, np.ndarray]:
-        """Minimal-transfer batch: rot_mat (+ root_v).  ``out`` allows buffer
-        reuse (avoids fresh-page faults on the hot path)."""
+                       out: Optional[Dict[str, np.ndarray]] = None,
+                       wire: str = "rotmat") -> Dict[str, np.ndarray]:
+        """Minimal-transfer batch (+ root_v).  ``out`` allows buffer reuse
+        (avoids fresh-page faults on the hot path).
+
+        ``wire``: "rotmat" transfers rot_mat (B,L,24,3,3); "rot6d" transfers
+        rot_6d (B,L,24,6) — 33% fewer bytes, the device reconstructs the
+        rotation matrix by Gram-Schmidt (exact for true rotations since the
+        6D rep IS the first two matrix columns,
+        utils/process_all_data_motion.py:136-137)."""
         L = self.train_seq_len
         B = batch_size
         if out is None:
-            out = {"rot_mat": np.empty((B, L, 24, 3, 3), np.float32)}
-            if need_root_v:
-                out["root_v"] = np.empty((B, L, 3), np.float32)
+            out = self._alloc_compact(B, need_root_v, wire)
         self._counter += 1
         rv = out.get("root_v")
         null = ctypes.POINTER(ctypes.c_float)()
-        self.lib.ml_sample_compact_mt(
+        key = "rot_6d" if wire == "rot6d" else "rot_mat"
+        off, width = ((layout.ROT6D.start, layout.ROT6D_DIM)
+                      if wire == "rot6d"
+                      else (layout.ROTMAT.start, layout.ROTMAT_DIM))
+        self.lib.ml_sample_compact_slice_mt(
             self.handle, B, L, (self.seed << 20) + self._counter,
-            int(self.fps_aug), _fptr(out["rot_mat"]),
-            _fptr(rv) if rv is not None else null, threads)
+            int(self.fps_aug), _fptr(out[key]),
+            _fptr(rv) if rv is not None else null, threads, off, width)
+        return out
+
+    def _alloc_compact(self, B: int, need_root_v: bool, wire: str):
+        L = self.train_seq_len
+        if wire == "rot6d":
+            out = {"rot_6d": np.empty((B, L, 24, 6), np.float32)}
+        else:
+            out = {"rot_mat": np.empty((B, L, 24, 3, 3), np.float32)}
+        if need_root_v:
+            out["root_v"] = np.empty((B, L, 3), np.float32)
         return out
 
     def iter_compact_superbatches(self, k: int, batch_size: int,
                                   need_root_v: bool = False,
-                                  threads: int = 8):
+                                  threads: int = 8, wire: str = "rotmat"):
         """Double-buffered compact (K, B, ...) superbatch stream."""
         import threading
 
         B = k * batch_size
-        L = self.train_seq_len
 
-        def alloc():
-            out = {"rot_mat": np.empty((B, L, 24, 3, 3), np.float32)}
-            if need_root_v:
-                out["root_v"] = np.empty((B, L, 3), np.float32)
-            return out
-
-        bufs = [alloc(), alloc()]
-        self.sample_compact(B, need_root_v, threads, out=bufs[0])
+        bufs = [self._alloc_compact(B, need_root_v, wire),
+                self._alloc_compact(B, need_root_v, wire)]
+        self.sample_compact(B, need_root_v, threads, out=bufs[0], wire=wire)
         slot = 0
         while True:
             nxt = 1 - slot
             t = threading.Thread(
                 target=self.sample_compact,
-                args=(B, need_root_v, threads), kwargs={"out": bufs[nxt]},
+                args=(B, need_root_v, threads),
+                kwargs={"out": bufs[nxt], "wire": wire},
                 daemon=True)
             t.start()
             yield {

@@ -64,13 +64,17 @@ def hmvae_forward(
     Returns (total_loss, metrics) where metrics holds every logged scalar.
     """
     mcfg, lcfg = cfg.model, cfg.loss
-    rotmat_gt = batch["rot_mat"]
-    # compact-transfer path: the 6D rep is exactly the first two columns of
+    # compact-transfer paths: the 6D rep is exactly the first two columns of
     # the stored rotation matrices (utils/process_all_data_motion.py:136-137),
-    # so deriving it on device is lossless and saves host->device bandwidth
+    # so whichever side is on the wire, the other derives on device —
+    # rot6d from rotmat by slicing, rotmat from rot6d by Gram-Schmidt (exact
+    # for true rotations; wire_format="rot6d" saves a further 33% bandwidth)
+    rotmat_gt = batch.get("rot_mat")
     rot6d_gt = batch.get("rot_6d")
     if rot6d_gt is None:
         rot6d_gt = rot.rotmat_to_rot6d(rotmat_gt)
+    if rotmat_gt is None:
+        rotmat_gt = rot.rot6d_to_rotmat(rot6d_gt)
     B, T = rot6d_gt.shape[:2]
 
     # FK pose targets recomputed online from GT rotations and detached

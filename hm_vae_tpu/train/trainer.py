@@ -262,16 +262,17 @@ class Trainer:
                    and hasattr(train_ds, "iter_compact_superbatches"))
         native_super = K > 1 and (
             compact or hasattr(train_ds, "iter_superbatches"))
+        wire = cfg.data.wire_format
         if native_super and compact:
             it = train_ds.iter_compact_superbatches(
                 K, bs, need_root_v=need_root_v,
-                threads=cfg.data.native_threads)
+                threads=cfg.data.native_threads, wire=wire)
         elif native_super:
             it = train_ds.iter_superbatches(
                 K, bs, threads=cfg.data.native_threads)
         elif compact:
             it = _compact_single_iter(train_ds, bs, need_root_v,
-                                      cfg.data.native_threads)
+                                      cfg.data.native_threads, wire)
         else:
             it = PrefetchIterator(train_ds.iter_batches(bs),
                                   depth=cfg.data.num_prefetch)
@@ -376,9 +377,9 @@ class Trainer:
         return {k: float(v) for k, v in metrics.items()}
 
 
-def _compact_single_iter(ds, bs, need_root_v, threads):
+def _compact_single_iter(ds, bs, need_root_v, threads, wire="rotmat"):
     while True:
-        yield ds.sample_compact(bs, need_root_v, threads)
+        yield ds.sample_compact(bs, need_root_v, threads, wire=wire)
 
 
 def build_trainer(cfg: Config, output_dir: str) -> tuple:

@@ -332,19 +332,22 @@ void ml_sample_fields_mt(void* h, int batch, int seq_len, uint64_t seed,
   for (auto& th : ts) th.join();
 }
 
-// compact variant: only rot_mat (+ optionally normalised root_v) — the
-// minimal host->device transfer for training (everything else derives on
-// device from the rotations)
-void ml_sample_compact_mt(void* h, int batch, int seq_len, uint64_t seed,
-                          int fps_aug, float* rotmat, float* rootv,
-                          int threads) {
+// compact variant: a single layout slice (+ optionally normalised root_v) —
+// the minimal host->device transfer for training (everything else derives on
+// device from the rotations).  offset/width select the slice: rot_mat
+// (144, 216) for the rotmat wire, rot_6d (0, 144) for the 6D wire (the
+// device re-orthonormalizes 6D -> rotmat; 33% fewer wire bytes).
+void ml_sample_compact_slice_mt(void* h, int batch, int seq_len,
+                                uint64_t seed, int fps_aug, float* out,
+                                float* rootv, int threads, int64_t offset,
+                                int64_t width) {
   Loader* L = (Loader*)h;
   auto fill = [&](int64_t lo, int64_t hi, uint64_t s2) {
     XorShift rng(s2);
     const float* mean = L->mean.data();
     const float* inv = L->inv_std.data();
     for (int64_t idx = lo; idx < hi; ++idx) {
-      float* rm = rotmat + idx * seq_len * 216;
+      float* rm = out + idx * seq_len * width;
       float* rv = rootv ? rootv + idx * seq_len * 3 : nullptr;
       for (int attempt = 0; attempt < 64; ++attempt) {
         const Sequence& s = L->seqs[rng.below((int64_t)L->seqs.size())];
@@ -363,7 +366,7 @@ void ml_sample_compact_mt(void* h, int batch, int seq_len, uint64_t seed,
         int64_t t0 = rng.below(eff_T - seq_len + 1);
         for (int64_t i = 0; i < seq_len; ++i) {
           const float* src = s.data.data() + (t0 + i) * stride * kDim;
-          memcpy(rm + i * 216, src + kRotMat, 216 * sizeof(float));
+          memcpy(rm + i * width, src + offset, width * sizeof(float));
           if (rv) {
             for (int d = 0; d < 3; ++d)
               rv[i * 3 + d] =
@@ -386,6 +389,14 @@ void ml_sample_compact_mt(void* h, int batch, int seq_len, uint64_t seed,
     ts.emplace_back(fill, lo, hi, seed + 0x9e3779b9ull * (t + 1));
   }
   for (auto& th : ts) th.join();
+}
+
+// back-compat wrapper: the rot_mat wire
+void ml_sample_compact_mt(void* h, int batch, int seq_len, uint64_t seed,
+                          int fps_aug, float* rotmat, float* rootv,
+                          int threads) {
+  ml_sample_compact_slice_mt(h, batch, seq_len, seed, fps_aug, rotmat, rootv,
+                             threads, kRotMat, 216);
 }
 
 void ml_start_prefetch(void* h, int batch, int seq_len, int depth,

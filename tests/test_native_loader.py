@@ -96,3 +96,65 @@ def test_fps_aug_runs(data_dir):
                             fps_aug=True, seed=2)
     b = nl.sample_batch(16)
     assert np.isfinite(b["rot_6d"]).all()
+
+
+def test_compact_rot6d_wire_matches_rotmat_wire(data_dir):
+    """Same seed/counter -> same windows; the 6D wire must be exactly the
+    first two columns of the rotmat wire, and Gram-Schmidt must reconstruct
+    the rotmat wire's matrices (the 6D rep IS columns 0,1 of a true
+    rotation, utils/process_all_data_motion.py:136-137)."""
+    from hm_vae_tpu.ops import rotations as rot
+
+    ms = np.load(os.path.join(data_dir, "mean_std.npy"))
+    a = NativeMotionLoader(os.path.join(data_dir, "seqs"),
+                           os.path.join(data_dir, "train.json"), ms, 16,
+                           seed=4)
+    b = NativeMotionLoader(os.path.join(data_dir, "seqs"),
+                           os.path.join(data_dir, "train.json"), ms, 16,
+                           seed=4)
+    ca = a.sample_compact(6, need_root_v=True, threads=1, wire="rotmat")
+    cb = b.sample_compact(6, need_root_v=True, threads=1, wire="rot6d")
+    assert cb["rot_6d"].shape == (6, 16, 24, 6)
+    # 6D == transposed first two rows of R^T? no: columns of R, in the
+    # reference's stacking order (rot_mat_to_6d, seq_two_hier_sa_vae.py:773)
+    expect_6d = np.asarray(
+        rot.rotmat_to_rot6d(ca["rot_mat"]))
+    np.testing.assert_allclose(cb["rot_6d"], expect_6d, atol=1e-6)
+    np.testing.assert_allclose(cb["root_v"], ca["root_v"], atol=1e-6)
+    recon = np.asarray(rot.rot6d_to_rotmat(cb["rot_6d"]))
+    np.testing.assert_allclose(recon, ca["rot_mat"], atol=1e-5)
+
+
+def test_trainer_rot6d_wire_loss_matches(data_dir, tmp_path):
+    """A jitted train step fed the rot6d wire must produce the same loss and
+    gradients as the rotmat wire (device-side reconstruction is exact)."""
+    import jax
+    import jax.numpy as jnp
+
+    from hm_vae_tpu.models.hm_vae import HMVAE
+    from hm_vae_tpu.train.losses import hmvae_forward
+    from hm_vae_tpu.utils.config import Config, ModelConfig
+
+    cfg = Config(model=ModelConfig(latent_d=6, shallow_latent_d=6,
+                                   kernel_size=3, train_seq_len=16))
+    model = HMVAE(cfg.model)
+    ms = np.load(os.path.join(data_dir, "mean_std.npy"))
+    nl = NativeMotionLoader(os.path.join(data_dir, "seqs"),
+                            os.path.join(data_dir, "train.json"), ms, 16,
+                            seed=11)
+    full = nl.sample_compact(4, threads=1, wire="rotmat")
+    nl2 = NativeMotionLoader(os.path.join(data_dir, "seqs"),
+                             os.path.join(data_dir, "train.json"), ms, 16,
+                             seed=11)
+    wire6 = nl2.sample_compact(4, threads=1, wire="rot6d")
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 16, 24, 6)))
+    rng = jax.random.PRNGKey(5)
+    step = jnp.zeros((), jnp.int32)
+
+    l_a, _ = hmvae_forward(model, params,
+                           {"rot_mat": jnp.asarray(full["rot_mat"])},
+                           rng, step, cfg)
+    l_b, _ = hmvae_forward(model, params,
+                           {"rot_6d": jnp.asarray(wire6["rot_6d"])},
+                           rng, step, cfg)
+    np.testing.assert_allclose(float(l_a), float(l_b), rtol=1e-4)

@@ -160,3 +160,22 @@ def test_float16_transfer_mode(tmp_path):
     assert np.isfinite(m16["loss_total"])
     # same data/seed, only the wire precision differs
     assert abs(m16["loss_total"] - m32["loss_total"]) < 0.05 * m32["loss_total"] + 0.01
+
+
+def test_fit_with_rot6d_wire(tmp_path):
+    """End-to-end fit over the compact rot6d wire (native loader, K-step
+    dispatch): 33% smaller host->device transfer, device-side Gram-Schmidt
+    rotmat reconstruction.  Loss finite and steps advance."""
+    import dataclasses
+    tmp = str(tmp_path)
+    cfg = tiny_cfg(tmp, max_iter=8)
+    cfg = dataclasses.replace(
+        cfg,
+        run=dataclasses.replace(cfg.run, steps_per_call=4),
+        data=dataclasses.replace(cfg.data, compact_transfer=True,
+                                 wire_format="rot6d",
+                                 transfer_dtype="float16"))
+    trainer, train_ds, _, _ = build_trainer(cfg, os.path.join(tmp, "runW"))
+    m = trainer.fit(train_ds, None)
+    assert int(trainer.state.step) == 8
+    assert np.isfinite(m["loss_total"])
