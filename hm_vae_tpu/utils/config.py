@@ -139,11 +139,11 @@ class DataConfig:
     # "float16" (half the bytes; rotation entries are in [-1, 1] so f16 adds
     # ~1e-4 absolute target noise — upcast to f32 on device in ingest)
     transfer_dtype: str = "float32"
-    # compact-wire payload: "rotmat" sends rot_mat (24x3x3/frame) and derives
-    # the 6D rep on device; "rot6d" sends rot_6d (24x6/frame, 33% fewer wire
-    # bytes) and the device reconstructs the rotation matrix by Gram-Schmidt
-    # — exact for true rotations (the 6D rep IS the first two matrix columns)
-    wire_format: str = "rotmat"
+    # compact-wire payload: "rot6d" (default) sends rot_6d (24x6/frame) and
+    # the device reconstructs the rotation matrix by Gram-Schmidt — exact for
+    # true rotations (the 6D rep IS the first two matrix columns), 33% fewer
+    # wire bytes and host copy work than "rotmat" (rot_mat, 24x3x3/frame)
+    wire_format: str = "rot6d"
     missing_joint_prob: float = 0.0
 
 
