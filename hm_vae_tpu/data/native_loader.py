@@ -81,6 +81,11 @@ def get_library():
         ctypes.c_int, ctypes.POINTER(ctypes.c_float),
         ctypes.POINTER(ctypes.c_float), ctypes.c_int,
         ctypes.c_int64, ctypes.c_int64]
+    lib.ml_build_aa.argtypes = [ctypes.c_void_p, ctypes.c_int]
+    lib.ml_sample_compact_aa_mt.argtypes = [
+        ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_uint64,
+        ctypes.c_int, ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int]
     lib.ml_start_prefetch.argtypes = [
         ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ctypes.c_int, ctypes.c_uint64, ctypes.c_int,
@@ -188,7 +193,9 @@ class NativeMotionLoader:
         rot_6d (B,L,24,6) — 33% fewer bytes, the device reconstructs the
         rotation matrix by Gram-Schmidt (exact for true rotations since the
         6D rep IS the first two matrix columns,
-        utils/process_all_data_motion.py:136-137)."""
+        utils/process_all_data_motion.py:136-137); "aa" transfers axis-angle
+        (B,L,24,3) from a load-time sidecar (robust SO(3) log map in C++) —
+        half the rot6d bytes again, reconstructed on device by Rodrigues."""
         L = self.train_seq_len
         B = batch_size
         if out is None:
@@ -196,19 +203,27 @@ class NativeMotionLoader:
         self._counter += 1
         rv = out.get("root_v")
         null = ctypes.POINTER(ctypes.c_float)()
+        rvp = _fptr(rv) if rv is not None else null
+        seed = (self.seed << 20) + self._counter
+        if wire == "aa":
+            self.lib.ml_sample_compact_aa_mt(
+                self.handle, B, L, seed, int(self.fps_aug), _fptr(out["aa"]),
+                rvp, threads)
+            return out
         key = "rot_6d" if wire == "rot6d" else "rot_mat"
         off, width = ((layout.ROT6D.start, layout.ROT6D_DIM)
                       if wire == "rot6d"
                       else (layout.ROTMAT.start, layout.ROTMAT_DIM))
         self.lib.ml_sample_compact_slice_mt(
-            self.handle, B, L, (self.seed << 20) + self._counter,
-            int(self.fps_aug), _fptr(out[key]),
-            _fptr(rv) if rv is not None else null, threads, off, width)
+            self.handle, B, L, seed, int(self.fps_aug), _fptr(out[key]),
+            rvp, threads, off, width)
         return out
 
     def _alloc_compact(self, B: int, need_root_v: bool, wire: str):
         L = self.train_seq_len
-        if wire == "rot6d":
+        if wire == "aa":
+            out = {"aa": np.empty((B, L, 24, 3), np.float32)}
+        elif wire == "rot6d":
             out = {"rot_6d": np.empty((B, L, 24, 6), np.float32)}
         else:
             out = {"rot_mat": np.empty((B, L, 24, 3, 3), np.float32)}

@@ -140,9 +140,12 @@ def trajectory_losses(
     # construction (process_all_data_motion.py:138-143), so they can be
     # derived on device from rot_mat alone
     if "joint_pos" not in batch:
-        if "rot_mat" not in batch:  # rot6d wire: Gram-Schmidt reconstruction
-            batch = dict(batch,
-                         rot_mat=rot.rot6d_to_rotmat(batch["rot_6d"]))
+        if "rot_mat" not in batch:
+            # rot6d wire: Gram-Schmidt; aa wire: Rodrigues reconstruction
+            rm = (rot.rot6d_to_rotmat(batch["rot_6d"])
+                  if "rot_6d" in batch
+                  else rot.aa_to_rotmat(batch["aa"].astype(jnp.float32)))
+            batch = dict(batch, rot_mat=rm)
         pose = fk_mod.fk_from_rotmat(batch["rot_mat"], fk_mod.default_offsets())
         mean_c = jnp.asarray(mean_std[0][layout.COORD]).reshape(24, 3)
         std_c = jnp.asarray(np.where(mean_std[1][layout.COORD] == 0, 1,

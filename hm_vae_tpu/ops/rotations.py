@@ -93,30 +93,31 @@ def rot6d_to_rotmat_spin(x: jnp.ndarray) -> jnp.ndarray:
 def aa_to_rotmat(aa: jnp.ndarray, eps: float = 1e-8) -> jnp.ndarray:
     """Axis-angle (..., 3) -> rotation matrix (..., 3, 3) via Rodrigues.
 
-    Taylor-safe around the identity (angle -> 0).
+    Written in the outer-product closed form
+    ``R = cos I + (1-cos) aa^T + sin [a]_x`` with every entry a scalar
+    expression — purely VPU-elementwise on TPU.  The usual ``K @ K``
+    formulation lowers 3-wide matmuls onto full MXU tiles, measured 25x
+    slower at these shapes (BASELINE.md "3x3 rotation algebra").
+    Taylor-safe around the identity (angle -> 0: R = I + [aa]_x).
     """
     angle = jnp.linalg.norm(aa, axis=-1, keepdims=True)  # (..., 1)
     safe_angle = jnp.maximum(angle, eps)
     axis = aa / safe_angle
     x, y, z = axis[..., 0], axis[..., 1], axis[..., 2]
-    zero = jnp.zeros_like(x)
-    # skew-symmetric cross-product matrix K
-    K = jnp.stack(
-        [
-            jnp.stack([zero, -z, y], axis=-1),
-            jnp.stack([z, zero, -x], axis=-1),
-            jnp.stack([-y, x, zero], axis=-1),
-        ],
-        axis=-2,
-    )  # (..., 3, 3)
-    s = jnp.sin(angle)[..., None]
-    c = jnp.cos(angle)[..., None]
-    eye = jnp.broadcast_to(jnp.eye(3, dtype=aa.dtype), K.shape)
-    rot = eye + s * K + (1.0 - c) * (K @ K)
-    # angle ~ 0: R = I + K_raw (first order) keeps gradients finite
-    small = (angle[..., None] < 1e-4)
-    K_raw = K * safe_angle[..., None]
-    return jnp.where(small, eye + K_raw, rot)
+    s = jnp.sin(angle)[..., 0]
+    c = jnp.cos(angle)[..., 0]
+    # angle ~ 0: first-order R = I + [aa]_x keeps gradients finite
+    small = angle[..., 0] < 1e-4
+    s = jnp.where(small, safe_angle[..., 0], s)
+    d = jnp.where(small, jnp.zeros_like(c), 1.0 - c)
+    cc = jnp.where(small, jnp.ones_like(c), c)
+    xx, yy, zz = d * x * x, d * y * y, d * z * z
+    xy, xz, yz = d * x * y, d * x * z, d * y * z
+    sx, sy, sz = s * x, s * y, s * z
+    row0 = jnp.stack([cc + xx, xy - sz, xz + sy], axis=-1)
+    row1 = jnp.stack([xy + sz, cc + yy, yz - sx], axis=-1)
+    row2 = jnp.stack([xz - sy, yz + sx, cc + zz], axis=-1)
+    return jnp.stack([row0, row1, row2], axis=-2)
 
 
 def rotmat_to_aa(rotmat: jnp.ndarray, eps: float = 1e-7) -> jnp.ndarray:

@@ -71,6 +71,10 @@ def hmvae_forward(
     # for true rotations; wire_format="rot6d" saves a further 33% bandwidth)
     rotmat_gt = batch.get("rot_mat")
     rot6d_gt = batch.get("rot_6d")
+    if rotmat_gt is None and rot6d_gt is None:
+        # axis-angle wire: 3 floats/joint, Rodrigues reconstruction (exact up
+        # to the log-map round trip — tested in test_native_loader.py)
+        rotmat_gt = rot.aa_to_rotmat(batch["aa"].astype(jnp.float32))
     if rot6d_gt is None:
         rot6d_gt = rot.rotmat_to_rot6d(rotmat_gt)
     if rotmat_gt is None:

@@ -142,7 +142,11 @@ class DataConfig:
     # compact-wire payload: "rot6d" (default) sends rot_6d (24x6/frame) and
     # the device reconstructs the rotation matrix by Gram-Schmidt — exact for
     # true rotations (the 6D rep IS the first two matrix columns), 33% fewer
-    # wire bytes and host copy work than "rotmat" (rot_mat, 24x3x3/frame)
+    # wire bytes and host copy work than "rotmat" (rot_mat, 24x3x3/frame);
+    # "aa" sends axis-angle (24x3/frame, half of rot6d again) from a C++
+    # load-time sidecar, reconstructed on device by Rodrigues — exact to the
+    # SO(3) log-map round trip (~1e-6 f32; with transfer_dtype=float16 the
+    # quantisation is ~1e-3 rad of target noise, same order as f16 rot6d)
     wire_format: str = "rot6d"
     missing_joint_prob: float = 0.0
 

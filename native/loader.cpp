@@ -14,6 +14,7 @@
 
 #include <algorithm>
 #include <atomic>
+#include <cmath>
 #include <condition_variable>
 #include <cstdint>
 #include <cstdio>
@@ -29,6 +30,7 @@ namespace {
 
 struct Sequence {
   std::vector<float> data;  // T * dim
+  std::vector<float> aa;    // T * 72 axis-angle sidecar (built on demand)
   int64_t T = 0;
   int64_t dim = 0;
 };
@@ -53,6 +55,9 @@ struct Loader {
   bool fps_aug = false;
   uint64_t seed = 0;
   std::atomic<uint64_t> worker_id{0};
+
+  bool aa_built = false;
+  std::mutex aa_mu;
 };
 
 // minimal .npy reader: float32, C-order, 2-D
@@ -237,6 +242,81 @@ void worker_loop(Loader* L) {
   }
 }
 
+// Robust SO(3) log map: row-major 3x3 rotation -> axis-angle.  The aa wire
+// ships 3 floats/joint (vs rot6d's 6), reconstructed on device by Rodrigues;
+// this inverse runs ONCE per frame at sidecar-build time, not per sample.
+void rotmat_to_aa3(const float* R, float* aa) {
+  double tr = R[0] + R[4] + R[8];
+  // v = (R21-R12, R02-R20, R10-R01) = 2 sin(theta) * axis
+  double vx = R[7] - R[5], vy = R[2] - R[6], vz = R[3] - R[1];
+  double vn = std::sqrt(vx * vx + vy * vy + vz * vz);
+  // theta = atan2(2 sin, 2 cos): well-conditioned over ALL of [0, pi],
+  // unlike acos((tr-1)/2) whose derivative blows up as 1/sin(theta) near pi
+  // (trace noise of ~1e-7 there becomes ~1e-4 rad of angle error)
+  double theta = std::atan2(vn, tr - 1.0);
+  if (theta < 3.0) {
+    // axis from the skew part; theta/vn -> 1/2 smoothly as theta -> 0
+    double k = (vn < 1e-12) ? 0.5 : theta / vn;
+    aa[0] = float(k * vx);
+    aa[1] = float(k * vy);
+    aa[2] = float(k * vz);
+    return;
+  }
+  // theta near pi: the skew part shrinks toward the f32 noise floor, so take
+  // the axis from the symmetric part, a_i^2 = (R_ii - cos)/(1 - cos), whose
+  // conditioning is O(1) there; signs fixed off the largest component, the
+  // overall sign from v (arbitrary at exactly pi — both encode the rotation).
+  double cos_t = std::min(1.0, std::max(-1.0, (tr - 1.0) / 2.0));
+  double d = 1.0 - cos_t;
+  double ax = std::sqrt(std::max(0.0, (R[0] - cos_t) / d));
+  double ay = std::sqrt(std::max(0.0, (R[4] - cos_t) / d));
+  double az = std::sqrt(std::max(0.0, (R[8] - cos_t) / d));
+  if (ax >= ay && ax >= az) {
+    if (ax > 0) {
+      ay = (R[1] + R[3]) / (2.0 * d * ax);
+      az = (R[2] + R[6]) / (2.0 * d * ax);
+    }
+  } else if (ay >= az) {
+    ax = (R[1] + R[3]) / (2.0 * d * ay);
+    az = (R[5] + R[7]) / (2.0 * d * ay);
+  } else {
+    ax = (R[2] + R[6]) / (2.0 * d * az);
+    ay = (R[5] + R[7]) / (2.0 * d * az);
+  }
+  if (vx * ax + vy * ay + vz * az < 0) { ax = -ax; ay = -ay; az = -az; }
+  aa[0] = float(theta * ax);
+  aa[1] = float(theta * ay);
+  aa[2] = float(theta * az);
+}
+
+void build_aa_sidecar(Loader* L, int threads) {
+  std::lock_guard<std::mutex> lk(L->aa_mu);
+  if (L->aa_built) return;
+  std::atomic<size_t> next{0};
+  auto work = [&] {
+    for (;;) {
+      size_t i = next.fetch_add(1);
+      if (i >= L->seqs.size()) return;
+      Sequence& s = L->seqs[i];
+      s.aa.resize(size_t(s.T) * 72);
+      for (int64_t t = 0; t < s.T; ++t) {
+        const float* frame = s.data.data() + t * kDim + kRotMat;
+        float* dst = s.aa.data() + t * 72;
+        for (int j = 0; j < 24; ++j)
+          rotmat_to_aa3(frame + j * 9, dst + j * 3);
+      }
+    }
+  };
+  if (threads <= 1) {
+    work();
+  } else {
+    std::vector<std::thread> ts;
+    for (int t = 0; t < threads; ++t) ts.emplace_back(work);
+    for (auto& th : ts) th.join();
+  }
+  L->aa_built = true;
+}
+
 }  // namespace
 
 extern "C" {
@@ -342,6 +422,9 @@ void ml_sample_compact_slice_mt(void* h, int batch, int seq_len,
                                 float* rootv, int threads, int64_t offset,
                                 int64_t width) {
   Loader* L = (Loader*)h;
+  // from_aa: read the axis-angle sidecar (width 72/frame) instead of a
+  // 579-layout slice; the window/RNG policy is identical either way.
+  const bool from_aa = (offset < 0);
   auto fill = [&](int64_t lo, int64_t hi, uint64_t s2) {
     XorShift rng(s2);
     const float* mean = L->mean.data();
@@ -365,9 +448,13 @@ void ml_sample_compact_slice_mt(void* h, int batch, int seq_len,
         if (eff_T < seq_len) continue;
         int64_t t0 = rng.below(eff_T - seq_len + 1);
         for (int64_t i = 0; i < seq_len; ++i) {
-          const float* src = s.data.data() + (t0 + i) * stride * kDim;
-          memcpy(rm + i * width, src + offset, width * sizeof(float));
+          const int64_t row = (t0 + i) * stride;
+          const float* payload =
+              from_aa ? s.aa.data() + row * width
+                      : s.data.data() + row * kDim + offset;
+          memcpy(rm + i * width, payload, width * sizeof(float));
           if (rv) {
+            const float* src = s.data.data() + row * kDim;
             for (int d = 0; d < 3; ++d)
               rv[i * 3 + d] =
                   (src[kRootV + d] - mean[kRootV + d]) * inv[kRootV + d];
@@ -389,6 +476,20 @@ void ml_sample_compact_slice_mt(void* h, int batch, int seq_len,
     ts.emplace_back(fill, lo, hi, seed + 0x9e3779b9ull * (t + 1));
   }
   for (auto& th : ts) th.join();
+}
+
+// axis-angle wire: ships 24x3 floats/frame from the precomputed sidecar
+// (built on first use by ml_build_aa) — half the rot6d wire's bytes; the
+// device reconstructs rotations by Rodrigues.
+void ml_build_aa(void* h, int threads) { build_aa_sidecar((Loader*)h, threads); }
+
+void ml_sample_compact_aa_mt(void* h, int batch, int seq_len, uint64_t seed,
+                             int fps_aug, float* out, float* rootv,
+                             int threads) {
+  Loader* L = (Loader*)h;
+  if (!L->aa_built) build_aa_sidecar(L, threads);
+  ml_sample_compact_slice_mt(h, batch, seq_len, seed, fps_aug, out, rootv,
+                             threads, /*offset=*/-1, /*width=*/72);
 }
 
 // back-compat wrapper: the rot_mat wire

@@ -125,6 +125,66 @@ def test_compact_rot6d_wire_matches_rotmat_wire(data_dir):
     np.testing.assert_allclose(recon, ca["rot_mat"], atol=1e-5)
 
 
+def test_compact_aa_wire_reconstructs_rotmat(data_dir):
+    """Same seed -> same windows; Rodrigues of the C++ axis-angle sidecar
+    must reproduce the rotmat wire's matrices (SO(3) log/exp round trip)."""
+    from hm_vae_tpu.ops import rotations as rot
+
+    ms = np.load(os.path.join(data_dir, "mean_std.npy"))
+    a = NativeMotionLoader(os.path.join(data_dir, "seqs"),
+                           os.path.join(data_dir, "train.json"), ms, 16,
+                           seed=4)
+    b = NativeMotionLoader(os.path.join(data_dir, "seqs"),
+                           os.path.join(data_dir, "train.json"), ms, 16,
+                           seed=4)
+    ca = a.sample_compact(6, need_root_v=True, threads=1, wire="rotmat")
+    cb = b.sample_compact(6, need_root_v=True, threads=1, wire="aa")
+    assert cb["aa"].shape == (6, 16, 24, 3)
+    recon = np.asarray(rot.aa_to_rotmat(cb["aa"]))
+    np.testing.assert_allclose(recon, ca["rot_mat"], atol=2e-5)
+    np.testing.assert_allclose(cb["root_v"], ca["root_v"], atol=1e-6)
+
+
+def test_aa_sidecar_near_pi_robust(tmp_path):
+    """The C++ log map's theta ~ pi branch (axis from the symmetric part)
+    must still round-trip: craft a pool of rotations at theta in
+    {pi, pi - 1e-5, pi - 1e-3} about random axes."""
+    import json
+
+    from hm_vae_tpu.ops import rotations as rot
+
+    rng = np.random.default_rng(0)
+    T = 16
+    frames = np.zeros((T, layout.FRAME_DIM), np.float32)
+    thetas = np.concatenate([
+        np.full(8, np.pi), [np.pi - 1e-5, np.pi - 1e-3, np.pi - 1e-2,
+                            1e-7, 1e-4, 0.5, 1.5, 2.5]])
+    mats = np.zeros((T, 24, 3, 3), np.float64)
+    for t in range(T):
+        for j in range(24):
+            ax = rng.normal(size=3)
+            ax /= np.linalg.norm(ax)
+            th = thetas[t]
+            K = np.array([[0, -ax[2], ax[1]], [ax[2], 0, -ax[0]],
+                          [-ax[1], ax[0], 0]])
+            mats[t, j] = np.eye(3) + np.sin(th) * K + (1 - np.cos(th)) * K @ K
+    frames[:, layout.ROTMAT] = mats.reshape(T, -1).astype(np.float32)
+    d = tmp_path / "pool"
+    (d / "seqs").mkdir(parents=True)
+    np.save(d / "seqs" / "s0.npy", frames)
+    with open(d / "train.json", "w") as f:
+        json.dump({"0": "s0.npy"}, f)
+    ms = np.stack([np.zeros(layout.FRAME_DIM), np.ones(layout.FRAME_DIM)]
+                  ).astype(np.float32)
+    nl = NativeMotionLoader(str(d / "seqs"), str(d / "train.json"), ms, T,
+                            seed=1)
+    cb = nl.sample_compact(2, threads=1, wire="aa")
+    recon = np.asarray(rot.aa_to_rotmat(cb["aa"].astype(np.float64)))
+    # seq_len == T: only one window possible, so compare the pool directly
+    np.testing.assert_allclose(
+        recon, np.broadcast_to(mats, (2, T, 24, 3, 3)), atol=5e-5)
+
+
 def test_trainer_rot6d_wire_loss_matches(data_dir, tmp_path):
     """A jitted train step fed the rot6d wire must produce the same loss and
     gradients as the rotmat wire (device-side reconstruction is exact)."""
@@ -158,3 +218,11 @@ def test_trainer_rot6d_wire_loss_matches(data_dir, tmp_path):
                            {"rot_6d": jnp.asarray(wire6["rot_6d"])},
                            rng, step, cfg)
     np.testing.assert_allclose(float(l_a), float(l_b), rtol=1e-4)
+
+    nl3 = NativeMotionLoader(os.path.join(data_dir, "seqs"),
+                             os.path.join(data_dir, "train.json"), ms, 16,
+                             seed=11)
+    wire_aa = nl3.sample_compact(4, threads=1, wire="aa")
+    l_c, _ = hmvae_forward(model, params, {"aa": jnp.asarray(wire_aa["aa"])},
+                           rng, step, cfg)
+    np.testing.assert_allclose(float(l_a), float(l_c), rtol=1e-4)

@@ -132,6 +132,26 @@ def _const_keys(cfg):
     return keys
 
 
+@pytest.mark.parametrize("overrides", [
+    dict(train_seq_len=16),                  # len-16 special stride schedule
+    dict(extra_conv=2),                      # two stride-1 convs per level
+    dict(train_seq_len=16, extra_conv=1),    # both special cases at once
+])
+def test_forward_loss_parity_config_variants(overrides):
+    """Config-space sweep against the real reference: the len-8/16 stride
+    special cases (seq_two_hier_sa_vae.py:79-91,107-118) and multi-extra_conv
+    stacks must agree with transplanted weights, not just the two shipped
+    YAML configs."""
+    model, params, cfg, ref, hp = _setup(LEN8, **overrides)
+    batch, r6d, rmats = _random_batch(cfg, B=2, seed=7)
+    theirs = _ref_losses(ref, hp, r6d, rmats, 0)
+    ours = _our_losses(model, params, cfg, batch, 0)
+    for k in theirs:
+        np.testing.assert_allclose(
+            ours[k], theirs[k], rtol=2e-4, atol=2e-6,
+            err_msg=f"variant {overrides} loss '{k}' mismatch")
+
+
 def test_forward_loss_parity_extra_conv():
     """extra_conv=1 inserts stride-1 SkeletonConvs per level in both encoder
     and decoder (seq_two_hier_sa_vae.py:102-105, 244-249); verify against the

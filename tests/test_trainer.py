@@ -179,3 +179,29 @@ def test_fit_with_rot6d_wire(tmp_path):
     m = trainer.fit(train_ds, None)
     assert int(trainer.state.step) == 8
     assert np.isfinite(m["loss_total"])
+
+
+def test_fit_with_aa_wire_f16_loss_impact(tmp_path):
+    """The f16 axis-angle wire (half the rot6d bytes) trains end to end, and
+    its f16 quantisation (~1e-3 rad of target noise) moves the loss by no
+    more than the f16-rot6d wire's own tolerance band."""
+    import dataclasses
+    tmp = str(tmp_path)
+    base = tiny_cfg(tmp, max_iter=8)
+    base = dataclasses.replace(
+        base, run=dataclasses.replace(base.run, steps_per_call=4))
+
+    def run(wire, dtype, sub):
+        cfg = dataclasses.replace(base, data=dataclasses.replace(
+            base.data, compact_transfer=True, wire_format=wire,
+            transfer_dtype=dtype))
+        trainer, train_ds, _, _ = build_trainer(cfg, os.path.join(tmp, sub))
+        m = trainer.fit(train_ds, None)
+        assert int(trainer.state.step) == 8
+        return m["loss_total"]
+
+    l_ref = run("rot6d", "float32", "runR32")
+    l_aa = run("aa", "float16", "runA16")
+    assert np.isfinite(l_aa)
+    # same data/seed; only the wire representation + precision differ
+    assert abs(l_aa - l_ref) < 0.05 * l_ref + 0.01
