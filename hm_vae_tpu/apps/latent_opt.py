@@ -6,15 +6,16 @@ optional deep-copied decoder fine-tuned after ``prev_epochs`` steps
 (``seq_two_hier_sa_vae.py:1096-1268, 1270-1541, 1543-1841``).  Here there is
 ONE engine:
 
-- the entire optimization loop is a ``lax.scan`` inside a single jit — no
-  Python-loop dispatch overhead, and windows/restarts batch over the leading
-  axis (the apps in :mod:`hm_vae_tpu.apps.tasks` exploit this);
+- the entire optimization loop runs inside a single jit — no Python-loop
+  dispatch overhead, and windows/restarts batch over the leading axis (the
+  apps in :mod:`hm_vae_tpu.apps.tasks` exploit this);
 - the z-vs-decoder phase switch at ``prev_epochs``
-  (``seq_two_hier_sa_vae.py:1206-1226``) is a ``lax.cond`` on the scalar
-  iteration counter: each iteration runs exactly ONE fwd+bwd (w.r.t. z in the
-  z phase, w.r.t. the decoder clone after) and steps exactly one Adam — the
-  reference's semantics, and ~2x less work per iteration than computing both
-  branches and masking;
+  (``seq_two_hier_sa_vae.py:1206-1226``) is *static* config, so the loop is
+  TWO ``lax.scan`` calls (z phase, then decoder phase): each iteration runs
+  exactly ONE fwd+bwd and one Adam step — the reference's semantics — and
+  during the z phase the decoder weights are a closure constant, so XLA's
+  loop-invariant code motion hoists the mask+pool-fold weight prep out of
+  those iterations entirely;
 - only the DECODER parameter subtree is cloned/optimized (the reference does
   ``copy.deepcopy(self.dec)``, ``seq_two_hier_sa_vae.py:1685-1687`` — the
   encoder never participates), as a functional param tree — no deepcopy, and
@@ -187,10 +188,10 @@ def make_latent_optimizer(model: HMVAE, cfg: Config,
         out0 = decode(dec_sub, z0) if lat.track_best else None
         big = jnp.full((), jnp.inf)
 
-        def z_step(z, z_opt, dec_p, z_count):
-            # z_tx's LR schedule counts only z steps (matching the separate
-            # torch Adam/StepLR pair, seq_two_hier_sa_vae.py:1162-1166); the
-            # state's own count is used, z_count is for bookkeeping only
+        def z_step(z, z_opt, dec_p):
+            # z_tx's LR schedule counts only z steps — the optax state's own
+            # count drives it (matching the separate torch Adam/StepLR pair,
+            # seq_two_hier_sa_vae.py:1162-1166)
             (loss, out), gz = jax.value_and_grad(
                 total_loss, argnums=0, has_aux=True
             )(z, dec_p, orig_dec, targets, mask, z_reg_target)
@@ -229,7 +230,7 @@ def make_latent_optimizer(model: HMVAE, cfg: Config,
 
         def z_body(carry, _):
             z, z_opt, best = carry
-            z, z_opt, loss, out = z_step(z, z_opt, dec_sub, None)
+            z, z_opt, loss, out = z_step(z, z_opt, dec_sub)
             return (z, z_opt, track(best, loss, out)), loss
 
         (z, z_opt, best), losses_z = jax.lax.scan(
@@ -257,7 +258,7 @@ def make_latent_optimizer(model: HMVAE, cfg: Config,
                 dec_opt = dec_tx.init(dec_p)
             dec_p, dec_opt, loss_last, last = dec_step(z, dec_p, dec_opt)
         else:
-            z, z_opt, loss_last, last = z_step(z, z_opt, dec_p, None)
+            z, z_opt, loss_last, last = z_step(z, z_opt, dec_p)
         losses = jnp.concatenate([losses, loss_last[None]])
         if lat.track_best:
             best_loss, best_out = best

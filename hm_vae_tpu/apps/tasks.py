@@ -306,12 +306,13 @@ class LatentOptApps:
         the previous window's output, ``seq_two_hier_sa_vae.py:1626-1652``),
         but the same window index across sequences is independent — so the
         outer loop runs ``max_windows`` batched solves instead of
-        ``sum(windows_i)`` single-sequence solves.  Sequences shorter than the
-        current window index ride along on repeated data (fixed shapes, one
-        compile) and their padded outputs are discarded at stitch time.
+        ``sum(windows_i)`` single-sequence solves.  Sequences with fewer
+        windows than the longest ride along on repeated data (fixed shapes,
+        one compile) and their padded outputs are discarded at stitch time.
 
-        rotmat_seqs: list of (T_i, 24, 3, 3) arrays.  Returns a list of dicts
-        shaped like :meth:`complete`'s output, one per input sequence.
+        rotmat_seqs: list of (T_i, 24, 3, 3) arrays, each at least one window
+        (W frames) long.  Returns a list of dicts shaped like
+        :meth:`complete`'s output, one per input sequence.
         """
         lat = self.cfg.latent_opt
         W = self.W
@@ -319,8 +320,12 @@ class LatentOptApps:
         stride = W - overlap
         seqs = [np.asarray(s) for s in rotmat_seqs]
         counts = [max(0, (s.shape[0] - W) // stride + 1) for s in seqs]
-        if not any(counts):
-            raise ValueError("no sequence long enough for one window")
+        short = [i for i, c in enumerate(counts) if c == 0]
+        if short:
+            raise ValueError(
+                f"sequences {short} are shorter than one window "
+                f"({[seqs[i].shape[0] for i in short]} < {W} frames); filter "
+                "them out before calling complete_many")
         n_max = max(counts)
         B = len(seqs)
         joint_mask = completion_joint_mask(missing)

@@ -61,7 +61,6 @@ def main(argv=None):
     from ..ops import fk as fk_mod
     from ..train.trainer import Trainer, build_trainer
     from ..utils.config import load_config
-    from ..utils.viz import save_animation
 
     cfg = load_config(args.config)
     if args.data_root:
@@ -107,7 +106,14 @@ def main(argv=None):
             t_trainer.model, t_trainer.state.params, mean_std)
         traj_tuple = (t_trainer.model, t_trainer.state.params, mean_std)
 
-    if task == "interpolation_sw" and traj_tuple is not None:
+    if task == "interpolation_sw" and traj_tuple is None:
+        # without a trajectory model the run would silently degrade to plain
+        # interpolation while writing into the *_w_trajectory output dir
+        p.error("--try_interpolation_w_trajectory_single_window requires "
+                "--trajectory_config/--trajectory_test_model (the reference "
+                "loads a TrajectoryModel for this task, "
+                "eval_partial_motion_recovery.py:96-133)")
+    if task == "interpolation_sw":
         # the single-window interpolation runs the keyframe trajectory loss
         # inside the solver (eval_partial_motion_recovery.py:96-103)
         import dataclasses
@@ -162,14 +168,18 @@ def main(argv=None):
             out = apps.interpolate(rotmat, key)
             T_out = out["pose"].shape[0]
             gt_pose = fk_mod.fk_numpy(rotmat[:T_out])
-            tmask = interpolation_mask(W, cfg.latent_opt.interpolation_window)
-            slerp = slerp_rotations(
-                rotmat[:T_out].reshape(-1, W, 24, 3, 3)[0], tmask) \
-                if T_out == W else None
             m = {
                 "mpjpe": float(mpjpe(out["pose"], gt_pose)),
                 "accel_err": float(accel_error(out["pose"], gt_pose)),
             }
+            if T_out == W:
+                # SLERP baseline on the same keyframes — the reference's
+                # comparison point (seq_two_hier_sa_vae.py:972-1011)
+                tmask = interpolation_mask(
+                    W, cfg.latent_opt.interpolation_window)
+                slerp = slerp_rotations(rotmat[:W], tmask)
+                m["slerp_mpjpe"] = float(
+                    mpjpe(fk_mod.fk_numpy(np.asarray(slerp)), gt_pose))
         elif task == "completion":
             missing = ("upper" if cfg.latent_opt.missing_upper_completion
                        else "lower")
@@ -185,85 +195,58 @@ def main(argv=None):
             m = {"length": out["pose"].shape[0]}
 
         name = item["name"].replace(".npy", "")
-        np.save(os.path.join(output_dir, f"{name}_rot_opt_res.npy"),
-                np.asarray(out["rot_mat"]))
-        if traj_runner is not None:
-            world, root_v = traj_runner(out["rot_6d"][None])
-            np.save(os.path.join(output_dir, f"{name}_root_trans_opt_res.npy"),
-                    np.asarray(world[0]))
-            if args.gen_vis:
-                save_animation(np.asarray(world[0])[None],
-                               os.path.join(output_dir, f"{name}.mp4"))
-        elif args.gen_vis:
-            save_animation(np.asarray(out["pose"])[None],
-                           os.path.join(output_dir, f"{name}.mp4"))
+        _save_seq_outputs(name, np.asarray(out["rot_mat"]),
+                          np.asarray(out["rot_6d"]), np.asarray(out["pose"]),
+                          args, traj_runner, output_dir)
         results.append((name, m))
         print(name, m, flush=True)
 
-    if results:
-        keys = results[0][1].keys()
-        summary = {k: float(np.mean([m[k] for _, m in results])) for k in keys}
-        print("summary:", summary)
-        import json
-
-        with open(os.path.join(output_dir, "summary.json"), "w") as f:
-            json.dump(summary, f, indent=2)
+    _write_summary(results, output_dir)
 
 
-def _run_completion_batched(args, apps, eval_ds, n_eval, W, rng,
-                            traj_runner, output_dir, cfg):
-    """Long-sequence completion over the test split, batched ACROSS sequences
-    per window index (apps.complete_many) — max_windows solves per chunk
-    instead of one 150-step solve per (sequence, window)."""
-    import json
-
-    import jax
-
-    from ..apps.metrics import accel_error, mpjpe
-    from ..ops import fk as fk_mod
-    from ..utils.viz import save_animation
-
-    missing = ("upper" if cfg.latent_opt.missing_upper_completion else "lower")
-    items = []
+def _iter_eligible(eval_ds, n_eval, W):
+    """Lazily yield test items with at least one window — items load one at a
+    time so memory stays bounded by the chunk size, not the split size."""
     for i in range(n_eval):
         it = eval_ds[i]
         if it["rot_mat"].shape[0] >= W:
-            items.append(it)
-    if not items:
+            yield it
+
+
+def _chunked(iterable, size):
+    import itertools
+    it = iter(iterable)
+    while True:
+        chunk = list(itertools.islice(it, size))
+        if not chunk:
+            return
+        yield chunk
+
+
+def _save_seq_outputs(name, rotmat, rot6d, pose, args, traj_runner,
+                      output_dir):
+    """Per-sequence artifacts: optimized rotations, predicted world-space
+    root trajectory (when a trajectory model is loaded), optional animation."""
+    from ..utils.viz import save_animation
+
+    np.save(os.path.join(output_dir, f"{name}_rot_opt_res.npy"), rotmat)
+    if traj_runner is not None:
+        world, _ = traj_runner(rot6d[None])
+        np.save(os.path.join(output_dir, f"{name}_root_trans_opt_res.npy"),
+                np.asarray(world[0]))
+        if args.gen_vis:
+            save_animation(np.asarray(world[0])[None],
+                           os.path.join(output_dir, f"{name}.mp4"))
+    elif args.gen_vis:
+        save_animation(pose[None], os.path.join(output_dir, f"{name}.mp4"))
+
+
+def _write_summary(results, output_dir):
+    import json
+
+    if not results:
         print("no test sequences long enough for one window")
         return
-
-    results = []
-    for c0 in range(0, len(items), args.chunk):
-        chunk = items[c0 : c0 + args.chunk]
-        outs = apps.complete_many(
-            [it["rot_mat"] for it in chunk],
-            jax.random.fold_in(rng, 5000 + c0), missing=missing)
-        for it, out in zip(chunk, outs):
-            pose = np.asarray(out["pose"])
-            T_out = pose.shape[0]
-            gt_pose = fk_mod.fk_numpy(it["rot_mat"][:T_out])
-            m = {
-                "mpjpe": float(mpjpe(pose, gt_pose)),
-                "accel_err": float(accel_error(pose, gt_pose)),
-            }
-            name = it["name"].replace(".npy", "")
-            np.save(os.path.join(output_dir, f"{name}_rot_opt_res.npy"),
-                    np.asarray(out["rot_mat"]))
-            if traj_runner is not None:
-                world, _ = traj_runner(np.asarray(out["rot_6d"])[None])
-                np.save(os.path.join(output_dir,
-                                     f"{name}_root_trans_opt_res.npy"),
-                        np.asarray(world[0]))
-                if args.gen_vis:
-                    save_animation(np.asarray(world[0])[None],
-                                   os.path.join(output_dir, f"{name}.mp4"))
-            elif args.gen_vis:
-                save_animation(pose[None],
-                               os.path.join(output_dir, f"{name}.mp4"))
-            results.append((name, m))
-            print(name, m, flush=True)
-
     keys = sorted({k for _, m in results for k in m})
     summary = {k: float(np.mean([m[k] for _, m in results if k in m]))
                for k in keys}
@@ -273,34 +256,57 @@ def _run_completion_batched(args, apps, eval_ds, n_eval, W, rng,
         json.dump(summary, f, indent=2)
 
 
+def _run_completion_batched(args, apps, eval_ds, n_eval, W, rng,
+                            traj_runner, output_dir, cfg):
+    """Long-sequence completion over the test split, batched ACROSS sequences
+    per window index (apps.complete_many) — max_windows solves per chunk
+    instead of one 150-step solve per (sequence, window)."""
+    import jax
+
+    from ..apps.metrics import accel_error, mpjpe
+    from ..ops import fk as fk_mod
+
+    missing = ("upper" if cfg.latent_opt.missing_upper_completion else "lower")
+    results = []
+    for ci, chunk in enumerate(_chunked(_iter_eligible(eval_ds, n_eval, W),
+                                        args.chunk)):
+        outs = apps.complete_many(
+            [it["rot_mat"] for it in chunk],
+            jax.random.fold_in(rng, 5000 + ci), missing=missing)
+        for it, out in zip(chunk, outs):
+            pose = np.asarray(out["pose"])
+            T_out = pose.shape[0]
+            gt_pose = fk_mod.fk_numpy(it["rot_mat"][:T_out])
+            m = {
+                "mpjpe": float(mpjpe(pose, gt_pose)),
+                "accel_err": float(accel_error(pose, gt_pose)),
+            }
+            name = it["name"].replace(".npy", "")
+            _save_seq_outputs(name, np.asarray(out["rot_mat"]),
+                              np.asarray(out["rot_6d"]), pose, args,
+                              traj_runner, output_dir)
+            results.append((name, m))
+            print(name, m, flush=True)
+
+    _write_summary(results, output_dir)
+
+
 def _run_single_window(args, task, apps, eval_ds, n_eval, W, rng,
                        traj_runner, output_dir):
     """Batched one-window-per-sequence evaluation over the test split.
 
     Chunks of ``args.chunk`` sequences solve in one jitted call each —
     the reference would run one 150-step Python loop per sequence."""
-    import json
-
     import jax
 
     from ..apps.metrics import accel_error, mpjpe
     from ..ops import fk as fk_mod
-    from ..utils.viz import save_animation
-
-    items = []
-    for i in range(n_eval):
-        it = eval_ds[i]
-        if it["rot_mat"].shape[0] >= W:
-            items.append(it)
-    if not items:
-        print("no test sequences long enough for one window")
-        return
 
     results = []
-    for c0 in range(0, len(items), args.chunk):
-        chunk = items[c0 : c0 + args.chunk]
+    for ci, chunk in enumerate(_chunked(_iter_eligible(eval_ds, n_eval, W),
+                                        args.chunk)):
         wins = np.stack([it["rot_mat"][:W] for it in chunk])
-        key = jax.random.fold_in(rng, 1000 + c0)
+        key = jax.random.fold_in(rng, 1000 + ci)
         if task == "completion_sw":
             masks = np.stack([it["mask"][:W] for it in chunk])
             out = apps.complete_single_window(wins, masks, key)
@@ -328,29 +334,12 @@ def _run_single_window(args, task, apps, eval_ds, n_eval, W, rng,
                 m["mpjpe_missing"] = float(
                     (err * missing).sum() / missing.sum())
             name = it["name"].replace(".npy", "")
-            np.save(os.path.join(output_dir, f"{name}_rot_opt_res.npy"),
-                    rot[j])
-            if traj_runner is not None:
-                world, _ = traj_runner(six[j][None])
-                np.save(os.path.join(output_dir,
-                                     f"{name}_root_trans_opt_res.npy"),
-                        np.asarray(world[0]))
-                if args.gen_vis:
-                    save_animation(np.asarray(world[0])[None],
-                                   os.path.join(output_dir, f"{name}.mp4"))
-            elif args.gen_vis:
-                save_animation(pose[j][None],
-                               os.path.join(output_dir, f"{name}.mp4"))
+            _save_seq_outputs(name, rot[j], six[j], pose[j], args,
+                              traj_runner, output_dir)
             results.append((name, m))
             print(name, m, flush=True)
 
-    keys = sorted({k for _, m in results for k in m})
-    summary = {k: float(np.mean([m[k] for _, m in results if k in m]))
-               for k in keys}
-    summary["num_seqs"] = len(results)
-    print("summary:", summary)
-    with open(os.path.join(output_dir, "summary.json"), "w") as f:
-        json.dump(summary, f, indent=2)
+    _write_summary(results, output_dir)
 
 
 if __name__ == "__main__":

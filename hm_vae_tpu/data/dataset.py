@@ -165,14 +165,18 @@ class MotionDataset:
         n = len(self.seqs)
         total = min(max_batches * batch_size, max(n, batch_size))
         for b0 in range(0, total - batch_size + 1, batch_size):
-            raw = np.stack([
-                self._sample_window((b0 + j) % n, rng)
-                for j in range(batch_size)
-            ])
+            # eval-mode: both augmentations off (fps stride subsampling AND
+            # random root rotation), so val loss is measured on clean windows
+            fps, self.fps_aug = self.fps_aug, False
             aug, self.random_root_rot = self.random_root_rot, False
             try:
+                raw = np.stack([
+                    self._sample_window((b0 + j) % n, rng)
+                    for j in range(batch_size)
+                ])
                 yield self._finalize(raw)
             finally:
+                self.fps_aug = fps
                 self.random_root_rot = aug
 
 

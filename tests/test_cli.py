@@ -213,6 +213,13 @@ def test_eval_interpolation_single_window_cli(tmp_path):
              if f.endswith("_root_trans_opt_res.npy")]
     assert len(trans) == summary["num_seqs"]
 
+    # without a trajectory model the flag must error out loudly rather than
+    # silently running plain interpolation into the *_w_trajectory dir
+    import pytest
+    with pytest.raises(SystemExit):
+        main(["--config", vp, "--output_path", str(tmp_path),
+              "--try_interpolation_w_trajectory_single_window"])
+
 
 def test_eval_completion_long_seq_cli_batched(tmp_path):
     """--final_motion_completion_long_seq over the full test split: the

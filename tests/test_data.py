@@ -197,3 +197,22 @@ def test_ordered_validation_batches_deterministic(tmp_path):
     second = list(ds.ordered_batches(2, max_batches=2, seed=7))
     for ba, bb in zip(first, second):
         np.testing.assert_array_equal(ba["rot_6d"], bb["rot_6d"])
+
+    # augmentation fully off in eval mode: every ordered window must be a
+    # CONTIGUOUS (stride-1, unrotated) slice of some source sequence
+    import json
+    with open(os.path.join(d, "val.json")) as f:
+        names = list(json.load(f).values())
+    srcs = [np.load(os.path.join(d, "seqs", n)) for n in names]
+    for batch in first:
+        flat = np.concatenate([
+            batch["rot_6d"].reshape(2, 8, -1),
+            batch["rot_mat"].reshape(2, 8, -1),
+        ], axis=-1)
+        for i in range(flat.shape[0]):
+            found = any(
+                np.allclose(s[t0:t0 + 8, :360], flat[i], atol=1e-5)
+                for s in srcs if s.shape[0] >= 8
+                for t0 in range(s.shape[0] - 8 + 1)
+            )
+            assert found, "ordered-batch window is augmented or non-contiguous"

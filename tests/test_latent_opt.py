@@ -308,3 +308,22 @@ def test_complete_many_batches_across_sequences():
         gt6 = np.asarray(rot.rotmat_to_rot6d(jnp.asarray(seq[:T_out])))
         np.testing.assert_allclose(
             np.asarray(out["rot_6d"])[:, vis], gt6[:, vis], atol=1e-5)
+
+
+def test_complete_many_rejects_short_sequences():
+    """A sequence shorter than one window cannot produce any output; the
+    call must fail loudly (naming the offender) instead of crashing with a
+    broadcast error or silently returning None for that slot."""
+    import dataclasses
+
+    import pytest
+
+    model, params = _model_and_params()
+    cfg = dataclasses.replace(CFG, latent_opt=dataclasses.replace(
+        CFG.latent_opt, opt_it=4, optimize_decoder=False))
+    apps = LatentOptApps(model, params, cfg)
+    W = 8
+    seqs = [np.asarray(_rand_rotmat_seq(jax.random.PRNGKey(1), W + 2)),
+            np.asarray(_rand_rotmat_seq(jax.random.PRNGKey(2), W - 3))]
+    with pytest.raises(ValueError, match=r"sequences \[1\].*shorter"):
+        apps.complete_many(seqs, jax.random.PRNGKey(5), missing="lower")

@@ -268,3 +268,58 @@ def test_training_trajectory_parity_vs_real_reference():
     assert rel.mean() < 3e-3, f"mean relative curve deviation {rel.mean():.2%}"
     # loss must actually move (guard against vacuous parity on a flat curve)
     assert ref_curve[-1] < ref_curve[0] * 0.9
+
+
+def test_trajectory_forward_loss_parity_vs_real_reference():
+    """The trajectory model against the reference's own TrajectoryModel
+    (trajectory_pred_model.py:206-260): weights transplanted reference->flax
+    via import_trajectory_params, identical inputs, loss components compared.
+    The data tuple's joint_pos/rot_pos/root_v are free inputs (the reference
+    consumes them as given), so FK is not in this comparison's graph."""
+    import dataclasses
+
+    from ref_harness import build_trajectory
+
+    from hm_vae_tpu.models.trajectory import TrajectoryModel, trajectory_losses
+    from hm_vae_tpu.utils.torch_import import import_trajectory_params
+
+    B, T = 2, 16
+    hp = make_hp("trajectory_model.yaml", train_seq_len=T)
+    ref = build_trajectory(hp)
+
+    cfg = cfg_mod.load_config("/root/reference/configs/trajectory_model.yaml")
+    cfg = dataclasses.replace(
+        cfg, model=dataclasses.replace(cfg.model, train_seq_len=T))
+    model = TrajectoryModel(cfg.model)
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    variables = import_trajectory_params(sd, cfg.model)
+
+    # the reference normalizes with its own shipped AMASS mean/std
+    ms = np.load("/root/reference/utils/data/for_all_data_motion_model/"
+                 "all_amass_data_mean_std.npy").astype(np.float32)
+    ms[1, ms[1] == 0] = 1.0
+
+    rng = np.random.default_rng(0)
+    rot6d = rng.normal(size=(B, T, 24, 6)).astype(np.float32)
+    rot_pos = rng.normal(size=(B, T, 24, 3)).astype(np.float32)
+    joint_pos = rng.normal(size=(B, T, 24, 3)).astype(np.float32)
+    root_v = (rng.normal(size=(B, T, 3)) * 0.1).astype(np.float32)
+
+    batch = {"rot_6d": jnp.asarray(rot6d), "rot_pos": jnp.asarray(rot_pos),
+             "joint_pos": jnp.asarray(joint_pos), "root_v": jnp.asarray(root_v)}
+    total, m = trajectory_losses(model, variables, batch, cfg, ms)
+
+    zeros = np.zeros((B, T, 24 * 9), np.float32)
+    data = tuple(torch.from_numpy(x) for x in (
+        rot6d.reshape(B, T, -1), zeros, rot_pos.reshape(B, T, -1),
+        joint_pos.reshape(B, T, -1), zeros[..., :72], zeros[..., :72], root_v))
+    out = ref(data, hp, 0, multigpus=False, validation_flag=True)
+    l_total_ref = float(out[0].detach())
+    l_root_v_ref = float(out[6].detach())
+    l_trans_ref = float(out[8].detach())
+
+    np.testing.assert_allclose(float(total), l_total_ref, rtol=2e-4)
+    np.testing.assert_allclose(float(m["loss_rec_root_v"]), l_root_v_ref,
+                               rtol=2e-4)
+    np.testing.assert_allclose(float(m["loss_rec_root_trans"]), l_trans_ref,
+                               rtol=2e-4, atol=1e-6)

@@ -139,20 +139,23 @@ def test_kl_normal_zero_at_standard():
 
 
 def test_loss_decreases_over_steps():
+    # NOTE: single-step loss values on this curve are chaotic (Adam amplifies
+    # ulp-level input/schedule differences; a transient spike once landed
+    # exactly on the old 30-step check) — assert on a trailing-window mean
+    # over a longer run instead of one step's value.
     cfg = TINY
     model = HMVAE(cfg.model)
     state = create_state(model, cfg, jax.random.PRNGKey(0))
     step_fn = jax.jit(make_train_step(model, cfg))
     batch = synth_batch(jax.random.PRNGKey(1), 4, 8)
-    first = None
-    for i in range(30):
+    curve = []
+    for i in range(60):
         state, metrics = step_fn(state, batch, jax.random.PRNGKey(100 + i))
-        if first is None:
-            first = float(metrics["loss_total"])
-    last = float(metrics["loss_total"])
-    assert np.isfinite(last)
-    assert last < first * 0.9, (first, last)
-    assert int(state.step) == 30
+        curve.append(float(metrics["loss_total"]))
+    assert np.isfinite(curve).all()
+    tail = float(np.mean(curve[-10:]))
+    assert tail < curve[0] * 0.7, (curve[0], tail)
+    assert int(state.step) == 60
 
 
 def test_curriculum_gates_shallow_gradient():
