@@ -45,6 +45,8 @@ class Trainer:
         self.output_dir = output_dir
         self.ckpt_dir, self.image_dir = make_result_folders(output_dir)
         self.writer = MetricWriter(os.path.join(output_dir, "logs"))
+        self._save_thread = None   # in-flight async checkpoint writer
+        self._snapshot_fn = None
         if mesh is None:
             # data-parallel degree must divide the global batch
             import math
@@ -181,8 +183,30 @@ class Trainer:
         assert ocp is not None, "orbax unavailable"
         step = int(self.state.step) if step is None else step
         path = os.path.join(os.path.abspath(self.ckpt_dir), f"gen_{step:08d}")
+        if not self.cfg.run.async_checkpoint:
+            self._write_checkpoint(path, self.state)
+            return path
+        # async: the train loop's multi-step dispatch DONATES the state
+        # buffers, so a background writer cannot hold references to
+        # self.state — take a device-side copy first (one cheap dispatch,
+        # non-donated outputs), then read back + write off-thread while the
+        # next steps run
+        import threading
+
+        self._join_pending_save()
+        if self._snapshot_fn is None:
+            self._snapshot_fn = jax.jit(
+                lambda s: jax.tree.map(jnp.copy, s))
+        snap = self._snapshot_fn(self.state)
+        t = threading.Thread(target=self._write_checkpoint,
+                             args=(path, snap), daemon=True)
+        self._save_thread = t
+        t.start()
+        return path
+
+    def _write_checkpoint(self, path: str, state) -> None:
         ckptr = ocp.StandardCheckpointer()
-        ckptr.save(path, jax.tree.map(np.asarray, self.state), force=True)
+        ckptr.save(path, jax.tree.map(np.asarray, state), force=True)
         ckptr.wait_until_finished()
         keep = self.cfg.run.keep_checkpoints
         if keep > 0:
@@ -193,7 +217,12 @@ class Trainer:
 
                 shutil.rmtree(os.path.join(self.ckpt_dir, stale),
                               ignore_errors=True)
-        return path
+
+    def _join_pending_save(self) -> None:
+        t = getattr(self, "_save_thread", None)
+        if t is not None and t.is_alive():
+            t.join()
+        self._save_thread = None
 
     def latest_checkpoint(self) -> Optional[str]:
         if not os.path.isdir(self.ckpt_dir):
@@ -206,6 +235,7 @@ class Trainer:
     def resume(self, path: Optional[str] = None) -> int:
         """Restore (params, opt_state, step); returns the restored step."""
         assert ocp is not None, "orbax unavailable"
+        self._join_pending_save()   # an in-flight async save may be newest
         path = path or self.latest_checkpoint()
         if path is None:
             return 0
@@ -372,6 +402,7 @@ class Trainer:
                         and crossed(cfg.run.image_save_iter)):
                     self._save_visualizations(test_ds, i, rng)
         finally:
+            self._join_pending_save()
             if hasattr(it, "close"):
                 it.close()
         return {k: float(v) for k, v in metrics.items()}

@@ -168,6 +168,11 @@ class RunConfig:
     # halt-and-restore on non-finite loss (the reference has no failure
     # detection at all, SURVEY §5.3); checked at every log point
     nan_guard: bool = True
+    # overlap checkpoint writes with training: save() takes a device-side
+    # snapshot (non-donated copy) and a background thread does the
+    # device->host readback + orbax write while the train loop keeps
+    # dispatching.  The reference's torch.save blocks the loop.
+    async_checkpoint: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

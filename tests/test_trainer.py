@@ -181,6 +181,32 @@ def test_fit_with_rot6d_wire(tmp_path):
     assert np.isfinite(m["loss_total"])
 
 
+def test_async_checkpoint_roundtrip(tmp_path):
+    """async_checkpoint=True: saves overlap training (device-side snapshot +
+    background writer), survive the donated-state hazard, and restore to the
+    exact same state as the synchronous path."""
+    import dataclasses
+    import jax
+
+    tmp = str(tmp_path)
+    cfg = tiny_cfg(tmp, max_iter=8)
+    cfg = dataclasses.replace(cfg, run=dataclasses.replace(
+        cfg.run, steps_per_call=2, snapshot_save_iter=4,
+        async_checkpoint=True))
+    trainer, train_ds, _, _ = build_trainer(cfg, os.path.join(tmp, "runA"))
+    trainer.fit(train_ds, None)  # saves at 4 and 8 while stepping
+    assert int(trainer.state.step) == 8
+
+    # an explicit async save of the final state must round-trip exactly
+    trainer.save(8)
+    trainer._join_pending_save()
+    t2, _, _, _ = build_trainer(cfg, os.path.join(tmp, "runA"))
+    assert t2.resume() == 8
+    for a, b in zip(jax.tree.leaves(trainer.state.params),
+                    jax.tree.leaves(t2.state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_fit_with_aa_wire_f16_loss_impact(tmp_path):
     """The f16 axis-angle wire (half the rot6d bytes) trains end to end, and
     its f16 quantisation (~1e-3 rad of target noise) moves the loss by no
