@@ -105,6 +105,35 @@ def main():
         our_curve.append(float(total))
     t_ours = time.perf_counter() - t0
 
+    # --- held-out quality eval at convergence: reconstruction losses on
+    # fresh (never-trained) batches, each stack through its own forward ---
+    hold = []
+    for i in range(4):
+        rm = R.random(args.batch * T * 24, random_state=900 + i).as_matrix()
+        rm = rm.astype(np.float32).reshape(args.batch, T, 24, 3, 3)
+        r6 = np.asarray(rot.rotmat_to_rot6d(jnp.asarray(rm)), np.float32)
+        hold.append((r6, rm))
+
+    ref_eval = {"rec_pose": [], "rec_6d": [], "rec_rot": []}
+    our_eval = {"rec_pose": [], "rec_6d": [], "rec_rot": []}
+    with torch.no_grad():
+        for r6, rm in hold:
+            data = make_batch_tuple(torch, r6, rm)
+            out = ref(data, hp, args.steps, multigpus=False,
+                      validation_flag=True)
+            ref_eval["rec_6d"].append(float(out[2].detach()))
+            ref_eval["rec_rot"].append(float(out[3].detach()))
+            ref_eval["rec_pose"].append(float(out[4].detach()))
+    for r6, rm in hold:
+        _, m = hmvae_forward(
+            model, params, {"rot_6d": jnp.asarray(r6),
+                            "rot_mat": jnp.asarray(rm)},
+            jax.random.PRNGKey(1), jnp.asarray(args.steps, jnp.int32), cfg,
+            sample=False)
+        our_eval["rec_6d"].append(float(m["loss_rec_6d"]))
+        our_eval["rec_rot"].append(float(m["loss_rec_rot"]))
+        our_eval["rec_pose"].append(float(m["loss_rec_pose"]))
+
     ref_c = np.asarray(ref_curve)
     our_c = np.asarray(our_curve)
     rel = np.abs(our_c - ref_c) / np.abs(ref_c)
@@ -118,6 +147,11 @@ def main():
         "mean_rel_dev": round(float(rel.mean()), 5),
         "final_ratio": round(float(our_c[-1] / ref_c[-1]), 5),
         "loss_drop_ref": round(float(ref_c[0] / ref_c[-1]), 3),
+        "heldout_recon": {
+            k: {"ref": round(float(np.mean(ref_eval[k])), 5),
+                "ours": round(float(np.mean(our_eval[k])), 5)}
+            for k in ref_eval
+        },
         "ref_s_per_step": round(t_ref / args.steps, 4),
         "ours_s_per_step_cpu": round(t_ours / args.steps, 4),
     }))
