@@ -45,13 +45,15 @@ def _bench(mstep, state, batches, rng, calls, warmup, jax):
     return time.perf_counter() - t0, state
 
 
-def bench_end_to_end(batch: int = 64, K: int = 8, calls: int = 15):
-    """Full production path: C++ window sampler -> compact f16 rot6d wire
-    (device-side Gram-Schmidt rotmat reconstruction) -> double-buffered
-    device ingest -> K fused gradient steps per dispatch.
+def bench_end_to_end(batch: int = 64, K: int = 32, calls: int = 8):
+    """Full production path (configs/len64_production.yaml semantics): C++
+    window sampler -> compact f16 axis-angle wire (on-device Rodrigues
+    reconstruction) -> double-buffered device ingest -> K fused gradient
+    steps per dispatch.
 
     Returns seqs/s including ALL host-side work (the compute-only figures
-    above exclude the loader and transfer)."""
+    above exclude the loader and transfer).  Soak-tested 30k steps
+    (BASELINE.md "Production-path soak")."""
     import os
     import tempfile
 
@@ -69,7 +71,7 @@ def bench_end_to_end(batch: int = 64, K: int = 8, calls: int = 15):
         data=DataConfig(synthetic=True, synthetic_num_seqs=48,
                         data_root=os.path.join(tmp, "data"),
                         transfer_dtype="float16", compact_transfer=True,
-                        wire_format="rot6d"),
+                        wire_format="aa"),
         run=RunConfig(steps_per_call=K, log_iter=10**9,
                       validation_iter=10**9, snapshot_save_iter=10**9,
                       image_save_iter=10**9, nan_guard=False),

@@ -126,17 +126,17 @@ def make_latent_optimizer(model: HMVAE, cfg: Config,
             return jnp.mean((rel_pred - rel_gt) ** 2)
 
     # the decoder fine-tune phase is HBM-bound on decoder weight+moment
-    # traffic; moment_dtype="bfloat16" (LatentOptConfig) halves the moment
+    # traffic; opt_moment_dtype="bfloat16" (LatentOptConfig) halves the moment
     # share with tested update precision (tests/test_train_step.py)
     from ..train.optim import scale_by_adam_stored
     z_tx = optax.chain(
         optax.add_decayed_weights(cfg.optim.weight_decay),
-        scale_by_adam_stored(moment_dtype=lat.moment_dtype),
+        scale_by_adam_stored(moment_dtype=lat.opt_moment_dtype),
         optax.scale_by_learning_rate(_steplr(lat.opt_lr, lat)),
     )
     dec_tx = optax.chain(
         optax.add_decayed_weights(cfg.optim.weight_decay),
-        scale_by_adam_stored(moment_dtype=lat.moment_dtype),
+        scale_by_adam_stored(moment_dtype=lat.opt_moment_dtype),
         optax.scale_by_learning_rate(_steplr(lat.opt_lr * 1e-3, lat)),
     )
 

@@ -57,6 +57,7 @@ def main(argv=None):
     metrics = trainer.fit(train_ds, val_ds, max_iter=args.max_iter,
                           log_cb=log_cb, test_ds=test_ds)
     trainer.save()
+    trainer.wait_for_saves()  # surface async-write errors before reporting
     print("Finish Training", metrics)
 
 

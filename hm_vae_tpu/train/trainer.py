@@ -46,6 +46,7 @@ class Trainer:
         self.ckpt_dir, self.image_dir = make_result_folders(output_dir)
         self.writer = MetricWriter(os.path.join(output_dir, "logs"))
         self._save_thread = None   # in-flight async checkpoint writer
+        self._save_error = None
         self._snapshot_fn = None
         if mesh is None:
             # data-parallel degree must divide the global batch
@@ -190,16 +191,24 @@ class Trainer:
         # buffers, so a background writer cannot hold references to
         # self.state — take a device-side copy first (one cheap dispatch,
         # non-donated outputs), then read back + write off-thread while the
-        # next steps run
+        # next steps run.  The thread is NON-daemon: an interpreter exiting
+        # right after a final save() waits for the write instead of killing
+        # it mid-file (callers can also wait_for_saves() explicitly).
         import threading
 
-        self._join_pending_save()
+        self.wait_for_saves()
         if self._snapshot_fn is None:
             self._snapshot_fn = jax.jit(
                 lambda s: jax.tree.map(jnp.copy, s))
         snap = self._snapshot_fn(self.state)
-        t = threading.Thread(target=self._write_checkpoint,
-                             args=(path, snap), daemon=True)
+
+        def write():
+            try:
+                self._write_checkpoint(path, snap)
+            except BaseException as e:  # surfaced at the next join point
+                self._save_error = e
+
+        t = threading.Thread(target=write, daemon=False)
         self._save_thread = t
         t.start()
         return path
@@ -210,26 +219,43 @@ class Trainer:
         ckptr.wait_until_finished()
         keep = self.cfg.run.keep_checkpoints
         if keep > 0:
-            cands = sorted(d for d in os.listdir(self.ckpt_dir)
-                           if d.startswith("gen_"))
-            for stale in cands[:-keep]:
+            for stale in self._checkpoint_names()[:-keep]:
                 import shutil
 
                 shutil.rmtree(os.path.join(self.ckpt_dir, stale),
                               ignore_errors=True)
 
-    def _join_pending_save(self) -> None:
+    def _checkpoint_names(self):
+        """Finalized checkpoint dir names, sorted by step.  Excludes orbax's
+        atomic-write staging dirs (gen_XXXXXXXX.orbax-checkpoint-tmp-<ts>) —
+        an interrupted write must never be resumed from, counted toward
+        retention, or shadow the newest finalized save."""
+        import re
+
+        if not os.path.isdir(self.ckpt_dir):
+            return []
+        return sorted(d for d in os.listdir(self.ckpt_dir)
+                      if re.fullmatch(r"gen_\d{8}", d))
+
+    def wait_for_saves(self) -> None:
+        """Block until any in-flight async checkpoint write has finished and
+        re-raise its error, if it failed.  save()/resume()/fit() call this
+        internally; call it before relying on a just-saved path."""
         t = getattr(self, "_save_thread", None)
         if t is not None and t.is_alive():
             t.join()
         self._save_thread = None
+        err = getattr(self, "_save_error", None)
+        if err is not None:
+            self._save_error = None
+            raise RuntimeError("async checkpoint write failed") from err
+
+    # back-compat alias (older tests/callers)
+    def _join_pending_save(self) -> None:
+        self.wait_for_saves()
 
     def latest_checkpoint(self) -> Optional[str]:
-        if not os.path.isdir(self.ckpt_dir):
-            return None
-        cands = sorted(
-            d for d in os.listdir(self.ckpt_dir) if d.startswith("gen_")
-        )
+        cands = self._checkpoint_names()
         return os.path.join(os.path.abspath(self.ckpt_dir), cands[-1]) if cands else None
 
     def resume(self, path: Optional[str] = None) -> int:
@@ -324,6 +350,7 @@ class Trainer:
         try:
             i = start
             while i < max_iter:
+                prev_i = i
                 # host arrays go straight into the jit: a one-shot implicit
                 # transfer per call (pre-device_put'ed arrays get re-staged
                 # across the TPU relay on EVERY executable launch — measured
@@ -359,9 +386,12 @@ class Trainer:
                     i += 1
 
                 # cadences fire when the counter crosses a multiple of the
-                # interval (a K-step dispatch may cross it mid-call)
+                # interval (a dispatch may cross it mid-call); the window is
+                # the steps ACTUALLY advanced this iteration — using K when
+                # the tail branch advanced fewer re-fired cadences for steps
+                # already handled
                 def crossed(interval):
-                    return (i // interval) > ((i - (K if K > 1 else 1)) // interval)
+                    return (i // interval) > (prev_i // interval)
 
                 if crossed(cfg.run.log_iter):
                     host = {k: float(v) for k, v in metrics.items()}

@@ -98,8 +98,11 @@ class LatentOptConfig:
     interpolation_window: int = 5
     optimize_decoder: bool = True
     optimize_trajectory: bool = False
-    # Adam moment storage dtype for the solver (see OptimConfig.moment_dtype)
-    moment_dtype: str = "float32"
+    # Adam moment storage dtype for the SOLVER (see OptimConfig.moment_dtype).
+    # Named opt_* like the other solver knobs so a flat-yaml `moment_dtype:`
+    # only touches training — without the distinct name, setting the training
+    # perf mode silently degraded eval-time solves too
+    opt_moment_dtype: str = "float32"
     replace_frame_with_gt: bool = True
     replace_part_with_gt: bool = True
     missing_upper_completion: bool = False

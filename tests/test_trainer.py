@@ -199,12 +199,34 @@ def test_async_checkpoint_roundtrip(tmp_path):
 
     # an explicit async save of the final state must round-trip exactly
     trainer.save(8)
-    trainer._join_pending_save()
+    trainer.wait_for_saves()
     t2, _, _, _ = build_trainer(cfg, os.path.join(tmp, "runA"))
     assert t2.resume() == 8
     for a, b in zip(jax.tree.leaves(trainer.state.params),
                     jax.tree.leaves(t2.state.params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # an interrupted orbax atomic write leaves a gen_*.orbax-checkpoint-tmp-*
+    # staging dir: it must never be resumed from or counted toward retention
+    os.makedirs(os.path.join(trainer.ckpt_dir,
+                             "gen_00000009.orbax-checkpoint-tmp-123"))
+    assert trainer.latest_checkpoint().endswith("gen_00000008")
+    assert "tmp" not in " ".join(trainer._checkpoint_names())
+
+
+def test_cadence_not_refired_by_superbatch_tail(tmp_path):
+    """max_iter=10, K=4, snapshot_save_iter=8: the save fires when the K-step
+    dispatch crosses 8, and the 2-step tail (8->10) must NOT re-fire it (the
+    old `crossed` used a constant K-wide window in the tail branch)."""
+    import dataclasses
+    tmp = str(tmp_path)
+    cfg = tiny_cfg(tmp, max_iter=10)
+    cfg = dataclasses.replace(cfg, run=dataclasses.replace(
+        cfg.run, steps_per_call=4, snapshot_save_iter=8, log_iter=100))
+    trainer, train_ds, _, _ = build_trainer(cfg, os.path.join(tmp, "runT"))
+    trainer.fit(train_ds, None)
+    assert int(trainer.state.step) == 10
+    assert trainer._checkpoint_names() == ["gen_00000008"]
 
 
 def test_fit_with_aa_wire_f16_loss_impact(tmp_path):
