@@ -46,6 +46,17 @@ def _targets_from_rotmat(rotmat: jnp.ndarray) -> Dict[str, jnp.ndarray]:
     return {"rot_6d": six, "rot_mat": rotmat, "pose": pose}
 
 
+def _targets_from_rotmat_np(rotmat: np.ndarray) -> Dict[str, np.ndarray]:
+    """Host-side variant for VARIABLE-LENGTH full sequences: un-jitted JAX
+    ops dispatch per-op executables for every distinct T (tens of ms each
+    over the TPU relay), which dominated full-split eval wall time; numpy
+    does the same work in ~2 ms/sequence with no device round-trips."""
+    rotmat = np.asarray(rotmat, np.float32)
+    six = np.concatenate((rotmat[..., :, 0], rotmat[..., :, 1]), axis=-1)
+    pose = np.asarray(fk_mod.fk_numpy(rotmat), np.float32)
+    return {"rot_6d": six, "rot_mat": rotmat, "pose": pose}
+
+
 def interpolation_mask(T: int, keyframe_every: int) -> np.ndarray:
     """Temporal keyframe mask (T,): 1 at keyframes, incl. the final frame
     (seq_two_hier_sa_vae.py:1300-1304)."""
@@ -256,14 +267,16 @@ class LatentOptApps:
         T = rotmat_seq.shape[0]
 
         joint_mask = completion_joint_mask(missing)
-        full = _targets_from_rotmat(rotmat_seq)
+        full = _targets_from_rotmat_np(np.asarray(rotmat_seq))
 
         acc = None  # dict of stitched outputs
         w_idx = 0
         for t0 in range(0, T, stride):
             if t0 + W > T:
                 break  # final partial window dropped (reference :1654-1655)
-            tgt = {k: v[None, t0 : t0 + W] for k, v in full.items()}
+            # copy: the slices VIEW the full-sequence numpy arrays and the
+            # overlap pin below writes into them
+            tgt = {k: np.array(v[None, t0 : t0 + W]) for k, v in full.items()}
             mask = np.tile(joint_mask[None, :], (W, 1))
             if acc is not None:
                 # pin frame 0 to the previous window's full output
@@ -271,7 +284,7 @@ class LatentOptApps:
                 for k, prev in (("rot_6d", acc["rot_6d"]),
                                 ("rot_mat", acc["rot_mat"]),
                                 ("pose", acc["pose"])):
-                    tgt[k] = tgt[k].at[0, :overlap].set(prev[-overlap:])
+                    tgt[k][0, :overlap] = np.asarray(prev[-overlap:])
             mask = jnp.asarray(mask)[None]
 
             z_init = init_z(jax.random.fold_in(rng, w_idx), self.cfg, 1)
@@ -329,10 +342,7 @@ class LatentOptApps:
         n_max = max(counts)
         B = len(seqs)
         joint_mask = completion_joint_mask(missing)
-        fulls = [
-            {k: np.asarray(v) for k, v in _targets_from_rotmat(s).items()}
-            for s in seqs
-        ]
+        fulls = [_targets_from_rotmat_np(s) for s in seqs]
 
         accs = [None] * B
         for w in range(n_max):
