@@ -131,11 +131,14 @@ class LatentOptApps:
         wins = rotmat_seq[: n_win * W].reshape(n_win, W, 24, 3, 3)
 
         R = max(1, restarts)
+        wins = np.asarray(wins)
         if R > 1:
-            wins_b = jnp.repeat(wins, R, axis=0)  # (n_win*R, W, 24, 3, 3)
+            wins_b = np.repeat(wins, R, axis=0)  # (n_win*R, W, 24, 3, 3)
         else:
             wins_b = wins
-        targets = _targets_from_rotmat(wins_b)
+        # host-side targets: n_win varies per sequence, and per-op eager JAX
+        # dispatch compiles relay executables for every distinct count
+        targets = _targets_from_rotmat_np(wins_b)
         tmask = interpolation_mask(W, lat.interpolation_window)
         mask = jnp.asarray(np.tile(tmask[None, :, None], (n_win * R, 1, 24)))
 
@@ -166,7 +169,7 @@ class LatentOptApps:
                 best_rotmat=pick(res.best_rotmat), best_pose=pick(res.best_pose),
                 final_loss=per.min(axis=1), loss_history=res.loss_history,
             )
-            targets = _targets_from_rotmat(wins)
+            targets = _targets_from_rotmat_np(wins)
             mask = jnp.asarray(np.tile(tmask[None, :, None], (n_win, 1, 24)))
 
         out6d, outrot, outpose = res.last_6d, res.last_rotmat, res.last_pose

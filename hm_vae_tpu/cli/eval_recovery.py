@@ -223,6 +223,15 @@ def _chunked(iterable, size):
         yield chunk
 
 
+def _pad_chunk(chunk, size):
+    """(padded_chunk, n_real): repeat the last item to the full chunk size so
+    the batched solver compiles for ONE batch shape — a smaller tail chunk
+    otherwise costs its own multi-minute relay compile.  Padded rows are
+    discarded by iterating only the first n_real results."""
+    n_real = len(chunk)
+    return chunk + [chunk[-1]] * (size - n_real), n_real
+
+
 def _save_seq_outputs(name, rotmat, rot6d, pose, args, traj_runner,
                       output_dir):
     """Per-sequence artifacts: optimized rotations, predicted world-space
@@ -270,10 +279,11 @@ def _run_completion_batched(args, apps, eval_ds, n_eval, W, rng,
     results = []
     for ci, chunk in enumerate(_chunked(_iter_eligible(eval_ds, n_eval, W),
                                         args.chunk)):
+        chunk, n_real = _pad_chunk(chunk, args.chunk)
         outs = apps.complete_many(
             [it["rot_mat"] for it in chunk],
             jax.random.fold_in(rng, 5000 + ci), missing=missing)
-        for it, out in zip(chunk, outs):
+        for it, out in zip(chunk[:n_real], outs[:n_real]):
             pose = np.asarray(out["pose"])
             T_out = pose.shape[0]
             gt_pose = fk_mod.fk_numpy(it["rot_mat"][:T_out])
@@ -305,6 +315,7 @@ def _run_single_window(args, task, apps, eval_ds, n_eval, W, rng,
     results = []
     for ci, chunk in enumerate(_chunked(_iter_eligible(eval_ds, n_eval, W),
                                         args.chunk)):
+        chunk, n_real = _pad_chunk(chunk, args.chunk)
         wins = np.stack([it["rot_mat"][:W] for it in chunk])
         key = jax.random.fold_in(rng, 1000 + ci)
         if task == "completion_sw":
@@ -322,7 +333,7 @@ def _run_single_window(args, task, apps, eval_ds, n_eval, W, rng,
         mask = np.asarray(out["mask"])
         rot = np.asarray(out["rot_mat"])
         six = np.asarray(out["rot_6d"])
-        for j, it in enumerate(chunk):
+        for j, it in enumerate(chunk[:n_real]):
             gt_pose = fk_mod.fk_numpy(it["rot_mat"][:W])
             m = {
                 "mpjpe": float(mpjpe(pose[j], gt_pose)),
