@@ -425,3 +425,45 @@ class LatentOptApps:
                     (whole["pose"], res.last_pose[0, overlap:]), 0),
             }
         return whole
+
+    # ------------------------------------------------------------------
+    def generate_many(self, seed_rotmats, rng: jax.Array,
+                      num_windows: int = 5, overlap: int = 10):
+        """Autoregressive generation from MANY seed windows, batched per
+        round: window w depends on window w-1 *within* a sequence but is
+        independent *across* sequences, so each round solves all sequences'
+        w-th windows in ONE batched call — ``num_windows`` solves total
+        instead of ``B * num_windows`` (cf. :meth:`complete_many`).
+
+        seed_rotmats: list/array of (W, 24, 3, 3) seeds.  Returns a list of
+        per-sequence dicts shaped like :meth:`generate`'s output.
+        """
+        W = self.W
+        seeds = np.stack([np.asarray(s, np.float32) for s in seed_rotmats])
+        B = seeds.shape[0]
+        whole = _targets_from_rotmat_np(seeds)  # dict of (B, W, ...)
+
+        tmask = np.zeros(W, dtype=np.float32)
+        tmask[:overlap] = 1.0
+        mask = jnp.asarray(np.tile(tmask[None, :, None], (B, 1, 24)))
+        pad = W - overlap
+
+        for w in range(num_windows):
+            tgt = {
+                k: np.concatenate(
+                    (whole[k][:, -overlap:],
+                     np.zeros((B, pad) + whole[k].shape[2:], np.float32)),
+                    axis=1)
+                for k in ("rot_6d", "rot_mat", "pose")
+            }
+            z_init = init_z(jax.random.fold_in(rng, w), self.cfg, B)
+            z_reg = z_init  # regularised toward init, as in generate()
+            res = self.solve(self.params, tgt, mask, z_init, z_reg)
+            out = {"rot_6d": res.last_6d, "rot_mat": res.last_rotmat,
+                   "pose": res.last_pose}
+            whole = {
+                k: np.concatenate(
+                    (whole[k], np.asarray(out[k])[:, overlap:]), axis=1)
+                for k in whole
+            }
+        return [{k: v[b] for k, v in whole.items()} for b in range(B)]

@@ -156,6 +156,10 @@ def main(argv=None):
         _run_completion_batched(args, apps, eval_ds, n_eval, W, rng,
                                 traj_runner, output_dir, cfg)
         return
+    if task == "generation":
+        _run_generation_batched(args, apps, eval_ds, n_eval, W, rng,
+                                traj_runner, output_dir)
+        return
 
     results = []
     for i in range(n_eval):
@@ -164,35 +168,23 @@ def main(argv=None):
         if rotmat.shape[0] < W:
             continue
         key = jax.random.fold_in(rng, i)
-        if task == "interpolation":
-            out = apps.interpolate(rotmat, key)
-            T_out = out["pose"].shape[0]
-            gt_pose = fk_mod.fk_numpy(rotmat[:T_out])
-            m = {
-                "mpjpe": float(mpjpe(out["pose"], gt_pose)),
-                "accel_err": float(accel_error(out["pose"], gt_pose)),
-            }
-            if T_out == W:
-                # SLERP baseline on the same keyframes — the reference's
-                # comparison point (seq_two_hier_sa_vae.py:972-1011)
-                tmask = interpolation_mask(
-                    W, cfg.latent_opt.interpolation_window)
-                slerp = slerp_rotations(rotmat[:W], tmask)
-                m["slerp_mpjpe"] = float(
-                    mpjpe(fk_mod.fk_numpy(np.asarray(slerp)), gt_pose))
-        elif task == "completion":
-            missing = ("upper" if cfg.latent_opt.missing_upper_completion
-                       else "lower")
-            out = apps.complete(rotmat, key, missing=missing)
-            T_out = out["pose"].shape[0]
-            gt_pose = fk_mod.fk_numpy(rotmat[:T_out])
-            m = {
-                "mpjpe": float(mpjpe(out["pose"], gt_pose)),
-                "accel_err": float(accel_error(out["pose"], gt_pose)),
-            }
-        else:  # generation
-            out = apps.generate(rotmat[:W], key, num_windows=5, overlap=10)
-            m = {"length": out["pose"].shape[0]}
+        # completion and generation dispatch to the batched helpers above;
+        # only interpolation reaches this per-sequence loop
+        out = apps.interpolate(rotmat, key)
+        T_out = out["pose"].shape[0]
+        gt_pose = fk_mod.fk_numpy(rotmat[:T_out])
+        m = {
+            "mpjpe": float(mpjpe(out["pose"], gt_pose)),
+            "accel_err": float(accel_error(out["pose"], gt_pose)),
+        }
+        if T_out == W:
+            # SLERP baseline on the same keyframes — the reference's
+            # comparison point (seq_two_hier_sa_vae.py:972-1011)
+            tmask = interpolation_mask(
+                W, cfg.latent_opt.interpolation_window)
+            slerp = slerp_rotations(rotmat[:W], tmask)
+            m["slerp_mpjpe"] = float(
+                mpjpe(fk_mod.fk_numpy(np.asarray(slerp)), gt_pose))
 
         name = item["name"].replace(".npy", "")
         _save_seq_outputs(name, np.asarray(out["rot_mat"]),
@@ -295,6 +287,33 @@ def _run_completion_batched(args, apps, eval_ds, n_eval, W, rng,
             _save_seq_outputs(name, np.asarray(out["rot_mat"]),
                               np.asarray(out["rot_6d"]), pose, args,
                               traj_runner, output_dir)
+            results.append((name, m))
+            print(name, m, flush=True)
+
+    _write_summary(results, output_dir)
+
+
+def _run_generation_batched(args, apps, eval_ds, n_eval, W, rng,
+                            traj_runner, output_dir):
+    """Autoregressive generation over the test split, batched ACROSS
+    sequences per window round (apps.generate_many): num_windows batched
+    solves per chunk instead of one per (sequence, window)."""
+    import jax
+
+    results = []
+    for ci, chunk in enumerate(_chunked(_iter_eligible(eval_ds, n_eval, W),
+                                        args.chunk)):
+        chunk, n_real = _pad_chunk(chunk, args.chunk)
+        outs = apps.generate_many(
+            [it["rot_mat"][:W] for it in chunk],
+            jax.random.fold_in(rng, 3000 + ci), num_windows=5, overlap=10)
+        for it, out in zip(chunk[:n_real], outs[:n_real]):
+            m = {"length": out["pose"].shape[0]}
+            name = it["name"].replace(".npy", "")
+            _save_seq_outputs(name, np.asarray(out["rot_mat"]),
+                              np.asarray(out["rot_6d"]),
+                              np.asarray(out["pose"]), args, traj_runner,
+                              output_dir)
             results.append((name, m))
             print(name, m, flush=True)
 

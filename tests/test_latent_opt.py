@@ -116,6 +116,35 @@ def test_generate_long_seq():
     assert np.isfinite(np.asarray(out["pose"])).all()
 
 
+def test_generate_many_matches_single_and_batches():
+    """generate_many: with ONE seed it draws the same z stream as generate()
+    (same fold_in, B=1), so outputs agree up to solver chaos — the two paths
+    compute FK pose targets via fk_numpy vs the jitted FK (~1e-7 apart) and
+    the Adam solve amplifies that; the seed portion must be exact."""
+    model, params = _model_and_params()
+    apps = LatentOptApps(model, params, CFG)
+    seed = np.asarray(_rand_rotmat_seq(jax.random.PRNGKey(7), 8))
+    single = apps.generate(jnp.asarray(seed), jax.random.PRNGKey(8),
+                           num_windows=2, overlap=3)
+    [many_one] = apps.generate_many([seed], jax.random.PRNGKey(8),
+                                    num_windows=2, overlap=3)
+    np.testing.assert_allclose(np.asarray(single["rot_6d"])[:8],
+                               many_one["rot_6d"][:8], atol=1e-6)
+    np.testing.assert_allclose(np.asarray(single["rot_6d"]),
+                               many_one["rot_6d"], atol=0.05)
+
+    seeds = [np.asarray(_rand_rotmat_seq(jax.random.PRNGKey(70 + i), 8))
+             for i in range(3)]
+    outs = apps.generate_many(seeds, jax.random.PRNGKey(9), num_windows=2,
+                              overlap=3)
+    assert len(outs) == 3
+    for out in outs:
+        assert out["rot_6d"].shape[0] == 8 + 2 * 5
+        assert np.isfinite(out["pose"]).all()
+    # different seeds produce different continuations
+    assert not np.allclose(outs[0]["rot_6d"], outs[1]["rot_6d"])
+
+
 def test_baselines():
     from hm_vae_tpu.apps.baselines import lerp_root_trajectory, slerp_rotations
     seq = np.asarray(_rand_rotmat_seq(jax.random.PRNGKey(9), 10))
