@@ -84,7 +84,7 @@ def bench_end_to_end(batch: int = 64, K: int = 32, calls: int = 8):
     return batch * K * calls / dt
 
 
-def bench_latent_opt(windows: int = 10) -> float:
+def bench_latent_opt(windows: int = 10, opt_it: int = 150) -> float:
     """The flagship application: temporal interpolation by test-time latent
     optimization (150 Adam steps incl. decoder fine-tune after 50), all
     windows in one batched jitted solve.  Returns ms per solve (isolated
@@ -102,7 +102,7 @@ def bench_latent_opt(windows: int = 10) -> float:
     cfg = Config(
         model=ModelConfig(latent_d=24, shallow_latent_d=12, kernel_size=15,
                           train_seq_len=64),
-        latent_opt=LatentOptConfig(opt_it=150, opt_lr=0.1, opt_step_size=50,
+        latent_opt=LatentOptConfig(opt_it=opt_it, opt_lr=0.1, opt_step_size=50,
                                    prev_epochs=50, optimize_decoder=True,
                                    interpolation_window=5))
     model = HMVAE(cfg.model)

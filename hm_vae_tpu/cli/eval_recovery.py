@@ -215,12 +215,16 @@ def _chunked(iterable, size):
         yield chunk
 
 
-def _pad_chunk(chunk, size):
+def _pad_chunk(chunk, size, ci):
     """(padded_chunk, n_real): repeat the last item to the full chunk size so
     the batched solver compiles for ONE batch shape — a smaller tail chunk
     otherwise costs its own multi-minute relay compile.  Padded rows are
-    discarded by iterating only the first n_real results."""
+    discarded by iterating only the first n_real results.  The FIRST chunk is
+    never padded: a small single-chunk run (--max_seqs 4) should compile and
+    solve at its exact size, not pay a full --chunk-wide batch."""
     n_real = len(chunk)
+    if ci == 0:
+        return chunk, n_real
     return chunk + [chunk[-1]] * (size - n_real), n_real
 
 
@@ -271,7 +275,7 @@ def _run_completion_batched(args, apps, eval_ds, n_eval, W, rng,
     results = []
     for ci, chunk in enumerate(_chunked(_iter_eligible(eval_ds, n_eval, W),
                                         args.chunk)):
-        chunk, n_real = _pad_chunk(chunk, args.chunk)
+        chunk, n_real = _pad_chunk(chunk, args.chunk, ci)
         outs = apps.complete_many(
             [it["rot_mat"] for it in chunk],
             jax.random.fold_in(rng, 5000 + ci), missing=missing)
@@ -303,7 +307,7 @@ def _run_generation_batched(args, apps, eval_ds, n_eval, W, rng,
     results = []
     for ci, chunk in enumerate(_chunked(_iter_eligible(eval_ds, n_eval, W),
                                         args.chunk)):
-        chunk, n_real = _pad_chunk(chunk, args.chunk)
+        chunk, n_real = _pad_chunk(chunk, args.chunk, ci)
         outs = apps.generate_many(
             [it["rot_mat"][:W] for it in chunk],
             jax.random.fold_in(rng, 3000 + ci), num_windows=5, overlap=10)
@@ -334,7 +338,7 @@ def _run_single_window(args, task, apps, eval_ds, n_eval, W, rng,
     results = []
     for ci, chunk in enumerate(_chunked(_iter_eligible(eval_ds, n_eval, W),
                                         args.chunk)):
-        chunk, n_real = _pad_chunk(chunk, args.chunk)
+        chunk, n_real = _pad_chunk(chunk, args.chunk, ci)
         wins = np.stack([it["rot_mat"][:W] for it in chunk])
         key = jax.random.fold_in(rng, 1000 + ci)
         if task == "completion_sw":

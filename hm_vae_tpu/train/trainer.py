@@ -14,6 +14,7 @@ driver loop in ``train_motion_vae.py:79-163``:
 
 from __future__ import annotations
 
+import logging
 import os
 from typing import Dict, Optional
 
@@ -234,8 +235,10 @@ class Trainer:
 
         if not os.path.isdir(self.ckpt_dir):
             return []
-        return sorted(d for d in os.listdir(self.ckpt_dir)
-                      if re.fullmatch(r"gen_\d{8}", d))
+        return sorted(
+            (d for d in os.listdir(self.ckpt_dir)
+             if re.fullmatch(r"gen_\d{8,}", d)),
+            key=lambda n: int(n[4:]))  # numeric: 9+ digit steps sort right
 
     def wait_for_saves(self) -> None:
         """Block until any in-flight async checkpoint write has finished and
@@ -432,9 +435,18 @@ class Trainer:
                         and crossed(cfg.run.image_save_iter)):
                     self._save_visualizations(test_ds, i, rng)
         finally:
-            self._join_pending_save()
             if hasattr(it, "close"):
                 it.close()
+            try:
+                self.wait_for_saves()
+            except RuntimeError:
+                import sys
+
+                if sys.exc_info()[0] is None:
+                    raise  # clean exit path: surface the failed save
+                # an exception is already propagating — don't mask it
+                logging.getLogger(__name__).exception(
+                    "async checkpoint write failed during teardown")
         return {k: float(v) for k, v in metrics.items()}
 
 

@@ -199,6 +199,10 @@ def _fill(cls, flat: Dict[str, Any]):
     return cls(**kwargs)
 
 
+# renamed keys accepted (with a log line) from older nested configs
+_SECTION_ALIASES = {"latent_opt": {"moment_dtype": "opt_moment_dtype"}}
+
+
 def from_flat_dict(flat: Dict[str, Any]) -> Config:
     """Build a :class:`Config` from a flat reference-style YAML dict."""
     known = set()
@@ -235,8 +239,17 @@ def load_config(path: str) -> Config:
             ("model", ModelConfig), ("loss", LossConfig), ("optim", OptimConfig),
             ("latent_opt", LatentOptConfig), ("data", DataConfig), ("run", RunConfig),
         ):
+            sect = dict(raw.get(name, {}) or {})
+            for old, new in _SECTION_ALIASES.get(name, {}).items():
+                if old in sect:
+                    log.info("config: %s.%s is now %s.%s", name, old, name, new)
+                    sect[new] = sect.pop(old)
+            fields = {f.name for f in dataclasses.fields(cls)}
+            unknown = sorted(set(sect) - fields)
+            if unknown:
+                log.info("ignoring unknown %s config keys: %s", name, unknown)
             merged = dict(flat_extra)
-            merged.update(raw.get(name, {}) or {})
+            merged.update(sect)
             nested[name] = _fill(cls, merged)
         return Config(**nested)
     return from_flat_dict(raw)

@@ -23,13 +23,14 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--sizes", type=int, nargs="+",
                     default=[10, 20, 40, 80, 160])
+    ap.add_argument("--opt_it", type=int, default=150)
     args = ap.parse_args()
 
     from bench import bench_latent_opt
 
     rows = []
     for B in args.sizes:
-        ms = bench_latent_opt(windows=B)
+        ms = bench_latent_opt(windows=B, opt_it=args.opt_it)
         rows.append({"windows": B, "solve_ms": round(ms, 1),
                      "windows_per_sec": round(B / (ms / 1e3), 1),
                      "ms_per_window": round(ms / B, 2)})

@@ -61,8 +61,6 @@ def main():
                  "all_amass_data_mean_std.npy").astype(np.float32)
     ms[1, ms[1] == 0] = 1.0
 
-    rng = np.random.default_rng(0)
-
     def make_batches(n, seed0):
         out = []
         for i in range(n):
