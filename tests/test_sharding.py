@@ -40,6 +40,35 @@ def test_data_parallel_step_matches_single_device():
     np.testing.assert_allclose(np.asarray(pa), np.asarray(pb), atol=1e-5)
 
 
+def test_trajectory_model_trains_data_parallel(tmp_path):
+    """The SECOND model family through the sharded Trainer on the virtual
+    mesh: the trainer auto-picks a data mesh (gcd(devices, batch)) and the
+    trajectory loss path must compile and step under GSPMD too."""
+    import dataclasses
+    import os
+
+    from hm_vae_tpu.train.trainer import build_trainer
+    from hm_vae_tpu.utils.config import (Config, DataConfig, ModelConfig,
+                                         OptimConfig, RunConfig)
+
+    cfg = Config(
+        model=ModelConfig(model_name="TrajectoryModel", latent_d=12,
+                          kernel_size=3, train_seq_len=8,
+                          trajectory_input_joint_pos=True),
+        optim=OptimConfig(batch_size=4, max_iter=4),
+        data=DataConfig(synthetic=True, synthetic_num_seqs=6,
+                        data_root=str(tmp_path / "data")),
+        run=RunConfig(log_iter=2, validation_iter=10**9,
+                      snapshot_save_iter=10**9, image_save_iter=10**9,
+                      nan_guard=False),
+    )
+    trainer, train_ds, _, _ = build_trainer(cfg, str(tmp_path / "run"))
+    assert trainer.mesh.shape["data"] == 4  # gcd(8 devices, batch 4)
+    m = trainer.fit(train_ds, None)
+    assert int(trainer.state.step) == 4
+    assert np.isfinite(m["loss_total"])
+
+
 def test_tensor_parallel_compiles_and_runs():
     cfg = TINY
     model = HMVAE(cfg.model)
