@@ -188,6 +188,68 @@ class LatentOptApps:
         }
 
     # ------------------------------------------------------------------
+    def interpolate_many(self, rotmat_seqs, rng: jax.Array,
+                         pad_to_multiple: int = 32):
+        """Temporal interpolation of MANY long sequences in ONE batched
+        solve: every sequence's windows flatten into a single batch axis
+        (windows are independent, cf. :meth:`complete_many` /
+        :meth:`generate_many`).  The batch is padded up to a multiple of
+        ``pad_to_multiple`` (repeating the first window; padded rows are
+        discarded) so different chunks reuse one solver compile instead of
+        recompiling per total window count.
+
+        rotmat_seqs: list of (T_i, 24, 3, 3), each at least W frames.
+        Returns a list of dicts shaped like :meth:`interpolate`'s output.
+        """
+        lat = self.cfg.latent_opt
+        W = self.W
+        seqs = [np.asarray(s, np.float32) for s in rotmat_seqs]
+        n_wins = [s.shape[0] // W for s in seqs]
+        short = [i for i, n in enumerate(n_wins) if n == 0]
+        if short:
+            raise ValueError(
+                f"sequences {short} are shorter than one window (< {W})")
+        wins = np.concatenate([
+            s[: n * W].reshape(n, W, 24, 3, 3)
+            for s, n in zip(seqs, n_wins)
+        ])
+        B = wins.shape[0]
+        B_pad = -(-B // pad_to_multiple) * pad_to_multiple
+        if B_pad > B:
+            wins = np.concatenate(
+                [wins, np.repeat(wins[:1], B_pad - B, axis=0)])
+        targets = _targets_from_rotmat_np(wins)
+        tmask = interpolation_mask(W, lat.interpolation_window)
+        mask = jnp.asarray(np.tile(tmask[None, :, None], (B_pad, 1, 24)))
+
+        z_init = init_z(rng, self.cfg, B_pad)
+        z_reg = jax.tree.map(jnp.zeros_like, z_init)
+        res = self.solve(self.params, targets, mask, z_init, z_reg)
+
+        out6d, outrot, outpose = res.last_6d, res.last_rotmat, res.last_pose
+        if lat.replace_frame_with_gt:
+            out6d = replace_with_target(out6d, targets["rot_6d"], mask)
+            outrot = replace_with_target(outrot, targets["rot_mat"], mask)
+            outpose = replace_with_target(outpose, targets["pose"], mask)
+
+        outs = []
+        o6, orm, op, msk = (np.asarray(out6d), np.asarray(outrot),
+                            np.asarray(outpose), np.asarray(mask))
+        off = 0
+        for n in n_wins:
+            sl = slice(off, off + n)
+
+            def stitch(x):
+                return x[sl].reshape((n * W,) + x.shape[2:])
+
+            outs.append({
+                "rot_6d": stitch(o6), "rot_mat": stitch(orm),
+                "pose": stitch(op), "mask": stitch(msk),
+            })
+            off += n
+        return outs
+
+    # ------------------------------------------------------------------
     def interpolate_single_window(self, rotmat_wins: jnp.ndarray,
                                   rng: jax.Array,
                                   root_trans: Optional[jnp.ndarray] = None,

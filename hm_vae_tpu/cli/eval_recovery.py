@@ -42,6 +42,14 @@ def main(argv=None):
                    help="precomputed per-frame mask npys (overrides random)")
     p.add_argument("--gen_vis", action="store_true")
     p.add_argument("--input_gt", action="store_true")
+    p.add_argument("--batch_across_seqs", action="store_true",
+                   help="long-seq interpolation only: flatten all sequences' "
+                        "windows into one batched solve per chunk — several "
+                        "times fewer dispatches, but the decoder fine-tune is "
+                        "then SHARED across the chunk's sequences (weaker "
+                        "per-sequence specialisation; measured ~2x MPJPE on "
+                        "synthetic data — see BASELINE.md).  Default: one "
+                        "batched solve per sequence (its own decoder clone)")
 
     p.add_argument("--final_motion_completion_long_seq", action="store_true")
     p.add_argument("--final_try_long_seq_interpolation", action="store_true")
@@ -161,37 +169,45 @@ def main(argv=None):
                                 traj_runner, output_dir)
         return
 
+    # interpolation: by default one batched solve per SEQUENCE (each gets its
+    # own decoder fine-tune, matching the reference's per-window clone most
+    # closely); --batch_across_seqs flattens a whole chunk's windows into one
+    # solve — faster, but the shared clone costs reconstruction quality
     results = []
-    for i in range(n_eval):
-        item = eval_ds[i]
-        rotmat = item["rot_mat"]
-        if rotmat.shape[0] < W:
-            continue
-        key = jax.random.fold_in(rng, i)
-        # completion and generation dispatch to the batched helpers above;
-        # only interpolation reaches this per-sequence loop
-        out = apps.interpolate(rotmat, key)
-        T_out = out["pose"].shape[0]
-        gt_pose = fk_mod.fk_numpy(rotmat[:T_out])
-        m = {
-            "mpjpe": float(mpjpe(out["pose"], gt_pose)),
-            "accel_err": float(accel_error(out["pose"], gt_pose)),
-        }
-        if T_out == W:
-            # SLERP baseline on the same keyframes — the reference's
-            # comparison point (seq_two_hier_sa_vae.py:972-1011)
-            tmask = interpolation_mask(
-                W, cfg.latent_opt.interpolation_window)
-            slerp = slerp_rotations(rotmat[:W], tmask)
-            m["slerp_mpjpe"] = float(
-                mpjpe(fk_mod.fk_numpy(np.asarray(slerp)), gt_pose))
+    for ci, chunk in enumerate(_chunked(_iter_eligible(eval_ds, n_eval, W),
+                                        args.chunk)):
+        if args.batch_across_seqs:
+            outs = apps.interpolate_many([it["rot_mat"] for it in chunk],
+                                         jax.random.fold_in(rng, 7000 + ci))
+        else:
+            outs = [apps.interpolate(
+                        it["rot_mat"],
+                        jax.random.fold_in(rng, 7000 + ci * args.chunk + j))
+                    for j, it in enumerate(chunk)]
+        for it, out in zip(chunk, outs):
+            rotmat = it["rot_mat"]
+            T_out = out["pose"].shape[0]
+            gt_pose = fk_mod.fk_numpy(rotmat[:T_out])
+            m = {
+                "mpjpe": float(mpjpe(out["pose"], gt_pose)),
+                "accel_err": float(accel_error(out["pose"], gt_pose)),
+            }
+            if T_out == W:
+                # SLERP baseline on the same keyframes — the reference's
+                # comparison point (seq_two_hier_sa_vae.py:972-1011)
+                tmask = interpolation_mask(
+                    W, cfg.latent_opt.interpolation_window)
+                slerp = slerp_rotations(rotmat[:W], tmask)
+                m["slerp_mpjpe"] = float(
+                    mpjpe(fk_mod.fk_numpy(np.asarray(slerp)), gt_pose))
 
-        name = item["name"].replace(".npy", "")
-        _save_seq_outputs(name, np.asarray(out["rot_mat"]),
-                          np.asarray(out["rot_6d"]), np.asarray(out["pose"]),
-                          args, traj_runner, output_dir)
-        results.append((name, m))
-        print(name, m, flush=True)
+            name = it["name"].replace(".npy", "")
+            _save_seq_outputs(name, np.asarray(out["rot_mat"]),
+                              np.asarray(out["rot_6d"]),
+                              np.asarray(out["pose"]), args, traj_runner,
+                              output_dir)
+            results.append((name, m))
+            print(name, m, flush=True)
 
     _write_summary(results, output_dir)
 

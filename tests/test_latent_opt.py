@@ -116,6 +116,38 @@ def test_generate_long_seq():
     assert np.isfinite(np.asarray(out["pose"])).all()
 
 
+def test_interpolate_many_batches_across_sequences():
+    """interpolate_many: windows of different-length sequences flatten into
+    one padded batch; per-sequence outputs stitch back to n_i*W frames with
+    keyframes pinned to GT (replace_frame_with_gt)."""
+    import dataclasses
+
+    model, params = _model_and_params()
+    cfg = dataclasses.replace(CFG, latent_opt=dataclasses.replace(
+        CFG.latent_opt, opt_it=6, optimize_decoder=False,
+        replace_frame_with_gt=True, interpolation_window=3))
+    apps = LatentOptApps(model, params, cfg)
+    W = 8
+    lens = [W, 2 * W + 3, 3 * W]  # 1, 2, 3 windows
+    seqs = [np.asarray(_rand_rotmat_seq(jax.random.PRNGKey(30 + i), L))
+            for i, L in enumerate(lens)]
+    outs = apps.interpolate_many(seqs, jax.random.PRNGKey(5),
+                                 pad_to_multiple=4)  # 6 windows -> pad to 8
+    assert len(outs) == 3
+    from hm_vae_tpu.apps.tasks import interpolation_mask
+    from hm_vae_tpu.ops import rotations as rot
+    key_idx = np.nonzero(interpolation_mask(W, 3))[0]
+    for seq, out, L in zip(seqs, outs, lens):
+        n = L // W
+        assert out["rot_6d"].shape == (n * W, 24, 6)
+        assert np.isfinite(out["pose"]).all()
+        gt6 = np.asarray(rot.rotmat_to_rot6d(jnp.asarray(seq[: n * W])))
+        for w in range(n):
+            np.testing.assert_allclose(
+                out["rot_6d"][w * W + key_idx], gt6[w * W + key_idx],
+                atol=1e-5)
+
+
 def test_generate_many_matches_single_and_batches():
     """generate_many: with ONE seed it draws the same z stream as generate()
     (same fold_in, B=1), so outputs agree up to solver chaos — the two paths
