@@ -214,6 +214,33 @@ def test_async_checkpoint_roundtrip(tmp_path):
     assert "tmp" not in " ".join(trainer._checkpoint_names())
 
 
+def test_async_save_error_surfaces_at_join(tmp_path, monkeypatch):
+    """A failed background checkpoint write must raise at the next
+    wait_for_saves() instead of being silently swallowed (the run would
+    otherwise believe the checkpoint exists until a NaN-guard restore finds
+    nothing)."""
+    import dataclasses
+
+    import pytest
+
+    tmp = str(tmp_path)
+    cfg = tiny_cfg(tmp, max_iter=2)
+    cfg = dataclasses.replace(cfg, run=dataclasses.replace(
+        cfg.run, async_checkpoint=True))
+    trainer, train_ds, _, _ = build_trainer(cfg, os.path.join(tmp, "runE"))
+    trainer.fit(train_ds, None)
+
+    def boom(path, state):
+        raise OSError("disk full")
+
+    monkeypatch.setattr(trainer, "_write_checkpoint", boom)
+    trainer.save(2)
+    with pytest.raises(RuntimeError, match="async checkpoint write failed"):
+        trainer.wait_for_saves()
+    # the error is consumed: subsequent waits are clean
+    trainer.wait_for_saves()
+
+
 def test_cadence_not_refired_by_superbatch_tail(tmp_path):
     """max_iter=10, K=4, snapshot_save_iter=8: the save fires when the K-step
     dispatch crosses 8, and the 2-step tail (8->10) must NOT re-fire it (the
