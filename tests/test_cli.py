@@ -254,3 +254,13 @@ def test_eval_completion_long_seq_cli_batched(tmp_path):
     arr = np.load(sorted(glob.glob(str(out_dir / "*_rot_opt_res.npy")))[0])
     assert arr.ndim == 4 and arr.shape[1:] == (24, 3, 3)
     assert arr.shape[0] >= 8
+
+
+def test_pad_chunk_policy():
+    """First chunk solves at its exact size (small runs pay no padding);
+    later (tail) chunks pad to the full chunk width to reuse the compile."""
+    from hm_vae_tpu.cli.eval_recovery import _pad_chunk
+
+    assert _pad_chunk([1, 2], 4, 0) == ([1, 2], 2)
+    assert _pad_chunk([1, 2], 4, 1) == ([1, 2, 2, 2], 2)
+    assert _pad_chunk([1, 2, 3, 4], 4, 2) == ([1, 2, 3, 4], 4)
