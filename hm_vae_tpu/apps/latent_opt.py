@@ -19,7 +19,14 @@ ONE engine:
 - only the DECODER parameter subtree is cloned/optimized (the reference does
   ``copy.deepcopy(self.dec)``, ``seq_two_hier_sa_vae.py:1685-1687`` — the
   encoder never participates), as a functional param tree — no deepcopy, and
-  no wasted Adam/weight-decay traffic over encoder tensors.
+  no wasted Adam/weight-decay traffic over encoder tensors;
+- with ``LatentOptConfig.per_window_decoder`` (default True) the solve is
+  vmapped PER WINDOW: each batched window optimizes its own z against its own
+  loss mean and fine-tunes its OWN decoder clone + Adam state — exactly the
+  reference's per-window loops with their per-window ``deepcopy``
+  (``:1343-1345``, ``:1685-1687``, inside the window loop), so batching
+  windows/sequences is quality-neutral.  ``False`` restores the shared-clone
+  batch-mean formulation (cheaper: decoder-phase HBM traffic is shared).
 
 Differences from the reference kept deliberately (cited):
 - the reference *computes* min-loss outputs but returns the last iteration's
@@ -51,6 +58,15 @@ from ..utils.config import Config, LatentOptConfig
 
 def _tree_where(cond, a, b):
     return jax.tree.map(lambda x, y: jnp.where(cond, x, y), a, b)
+
+
+def _tree_where_b(cond_b, a, b):
+    """Per-sample select: cond_b (B,) against (B, ...) leaves."""
+    def sel(x, y):
+        c = cond_b.reshape((-1,) + (1,) * (x.ndim - 1))
+        return jnp.where(c, x, y)
+
+    return jax.tree.map(sel, a, b)
 
 
 @flax.struct.dataclass
@@ -184,9 +200,27 @@ def make_latent_optimizer(model: HMVAE, cfg: Config,
         dec_sub = {"params": {"decoder": params["params"]["decoder"]}}
         orig_dec = dec_sub
         z0 = z_init
-        z_opt0 = z_tx.init(z0)
-        out0 = decode(dec_sub, z0) if lat.track_best else None
-        big = jnp.full((), jnp.inf)
+        B = mask.shape[0]
+        # per_window_decoder=True: the solve is vmapped per window — every
+        # window optimizes its own z (own loss mean / Adam trajectory) and,
+        # after prev_epochs, its OWN decoder clone + Adam state.  This is
+        # exactly the reference's semantics, where each window runs a private
+        # 150-step loop with a fresh copy.deepcopy(self.dec)
+        # (seq_two_hier_sa_vae.py:1343-1345 interpolation, :1685-1687
+        # completion — both inside the `for t_idx in range(num_windows)`
+        # loop).  False keeps the round-2 batched formulation: batch-mean
+        # loss and ONE shared decoder clone (cheaper — the ~190 MB/iteration
+        # decoder weight+moment traffic is shared across the batch — but
+        # couples the windows; measured ~2x interpolation MPJPE penalty when
+        # shared across sequences, BASELINE.md).
+        per_win = lat.per_window_decoder
+
+        def total_loss_s(z1, dec_p1, tgt1, m1, zr1):
+            zb = jax.tree.map(lambda x: x[None], z1)
+            tb = jax.tree.map(lambda x: x[None], tgt1)
+            zrb = jax.tree.map(lambda x: x[None], zr1)
+            loss, out = total_loss(zb, dec_p1, orig_dec, tb, m1[None], zrb)
+            return loss, jax.tree.map(lambda x: x[0], out)
 
         def z_step(z, z_opt, dec_p):
             # z_tx's LR schedule counts only z steps — the optax state's own
@@ -198,6 +232,18 @@ def make_latent_optimizer(model: HMVAE, cfg: Config,
             z_upd, z_opt = z_tx.update(gz, z_opt, z)
             return optax.apply_updates(z, z_upd), z_opt, loss, out
 
+        def z_step_single(z1, z_opt1, dec_p, tgt1, m1, zr1):
+            (loss, out), gz = jax.value_and_grad(
+                total_loss_s, argnums=0, has_aux=True
+            )(z1, dec_p, tgt1, m1, zr1)
+            z_upd, z_opt1 = z_tx.update(gz, z_opt1, z1)
+            return optax.apply_updates(z1, z_upd), z_opt1, loss, out
+
+        # decoder params broadcast under vmap (in_axes=None): the z phase's
+        # decode still runs as ONE batched conv with shared kernels, so
+        # per-window z costs nothing extra over the batched formulation
+        z_step_b = jax.vmap(z_step_single, in_axes=(0, 0, None, 0, 0, 0))
+
         def dec_step(z, dec_p, dec_opt):
             (loss, out), gd = jax.value_and_grad(
                 total_loss, argnums=1, has_aux=True
@@ -205,13 +251,26 @@ def make_latent_optimizer(model: HMVAE, cfg: Config,
             d_upd, dec_opt = dec_tx.update(gd, dec_opt, dec_p)
             return optax.apply_updates(dec_p, d_upd), dec_opt, loss, out
 
+        def dec_step_single(z1, dec_p1, dec_opt1, tgt1, m1, zr1):
+            (loss, out), gd = jax.value_and_grad(
+                total_loss_s, argnums=1, has_aux=True
+            )(z1, dec_p1, tgt1, m1, zr1)
+            d_upd, dec_opt1 = dec_tx.update(gd, dec_opt1, dec_p1)
+            return optax.apply_updates(dec_p1, d_upd), dec_opt1, loss, out
+
+        dec_step_b = jax.vmap(dec_step_single, in_axes=(0, 0, 0, 0, 0, 0))
+
         def track(best, loss, out):
+            """Best-so-far tracking (scalar batch-mean loss in the shared
+            formulation; per-window (B,) losses under per_win — each
+            reference window tracks its own minimum, :1753-1757)."""
             if not lat.track_best:
                 return best
             best_loss, best_out = best
             better = loss < best_loss
+            sel = _tree_where_b if per_win else _tree_where
             return (jnp.where(better, loss, best_loss),
-                    _tree_where(better, out, best_out))
+                    sel(better, out, best_out))
 
         # The z-vs-decoder switch at prev_epochs
         # (seq_two_hier_sa_vae.py:1733-1751: iterations 0..prev_epochs step
@@ -226,26 +285,50 @@ def make_latent_optimizer(model: HMVAE, cfg: Config,
         n_z = min(lat.prev_epochs + 1, n_scan) if lat.optimize_decoder \
             else n_scan
 
+        if per_win:
+            z_opt0 = jax.vmap(z_tx.init)(z0)
+            big = jnp.full((B,), jnp.inf)
+        else:
+            z_opt0 = z_tx.init(z0)
+            big = jnp.full((), jnp.inf)
+        out0 = decode(dec_sub, z0) if lat.track_best else None
         best0 = (big, out0) if lat.track_best else ()
 
         def z_body(carry, _):
             z, z_opt, best = carry
+            if per_win:
+                z, z_opt, loss_b, out = z_step_b(
+                    z, z_opt, dec_sub, targets, mask, z_reg_target)
+                return (z, z_opt, track(best, loss_b, out)), jnp.mean(loss_b)
             z, z_opt, loss, out = z_step(z, z_opt, dec_sub)
             return (z, z_opt, track(best, loss, out)), loss
 
         (z, z_opt, best), losses_z = jax.lax.scan(
             z_body, (z0, z_opt0, best0), None, length=n_z)
 
+        def bcast_dec(t):
+            return jax.tree.map(
+                lambda x: jnp.broadcast_to(x[None], (B,) + x.shape), t)
+
         if lat.optimize_decoder and n_scan > n_z:
-            dec_opt0 = dec_tx.init(dec_sub)
+            if per_win:
+                dec_p0 = bcast_dec(dec_sub)
+                dec_opt0 = jax.vmap(dec_tx.init)(dec_p0)
+            else:
+                dec_p0, dec_opt0 = dec_sub, dec_tx.init(dec_sub)
 
             def dec_body(carry, _):
                 dec_p, dec_opt, best = carry
+                if per_win:
+                    dec_p, dec_opt, loss_b, out = dec_step_b(
+                        z, dec_p, dec_opt, targets, mask, z_reg_target)
+                    return ((dec_p, dec_opt, track(best, loss_b, out)),
+                            jnp.mean(loss_b))
                 dec_p, dec_opt, loss, out = dec_step(z, dec_p, dec_opt)
                 return (dec_p, dec_opt, track(best, loss, out)), loss
 
             (dec_p, dec_opt, best), losses_d = jax.lax.scan(
-                dec_body, (dec_sub, dec_opt0, best0 if n_z == 0 else best),
+                dec_body, (dec_p0, dec_opt0, best0 if n_z == 0 else best),
                 None, length=n_scan - n_z)
             losses = jnp.concatenate([losses_z, losses_d])
         else:
@@ -255,15 +338,28 @@ def make_latent_optimizer(model: HMVAE, cfg: Config,
         # final iteration explicitly (phase is static too)
         if lat.optimize_decoder and (lat.opt_it - 1) > lat.prev_epochs:
             if dec_opt is None:
-                dec_opt = dec_tx.init(dec_p)
-            dec_p, dec_opt, loss_last, last = dec_step(z, dec_p, dec_opt)
+                if per_win:
+                    dec_p = bcast_dec(dec_p)
+                    dec_opt = jax.vmap(dec_tx.init)(dec_p)
+                else:
+                    dec_opt = dec_tx.init(dec_p)
+            if per_win:
+                dec_p, dec_opt, loss_last, last = dec_step_b(
+                    z, dec_p, dec_opt, targets, mask, z_reg_target)
+            else:
+                dec_p, dec_opt, loss_last, last = dec_step(z, dec_p, dec_opt)
+        elif per_win:
+            z, z_opt, loss_last, last = z_step_b(
+                z, z_opt, dec_sub, targets, mask, z_reg_target)
         else:
             z, z_opt, loss_last, last = z_step(z, z_opt, dec_p)
-        losses = jnp.concatenate([losses, loss_last[None]])
+        losses = jnp.concatenate(
+            [losses, (jnp.mean(loss_last) if per_win else loss_last)[None]])
         if lat.track_best:
             best_loss, best_out = best
             better = loss_last < best_loss
-            best_out = _tree_where(better, last, best_out)
+            sel = _tree_where_b if per_win else _tree_where
+            best_out = sel(better, last, best_out)
         else:
             best_out = last
 

@@ -216,8 +216,11 @@ class LatentOptApps:
         B = wins.shape[0]
         B_pad = -(-B // pad_to_multiple) * pad_to_multiple
         if B_pad > B:
-            wins = np.concatenate(
-                [wins, np.repeat(wins[:1], B_pad - B, axis=0)])
+            # cycle across ALL real windows (np.resize-style) rather than
+            # repeating window 0: with a shared decoder clone, duplicate rows
+            # add extra gradient weight to their source window, and repeating
+            # only the first skewed every real sequence toward it
+            wins = np.concatenate([wins, wins[np.arange(B_pad - B) % B]])
         targets = _targets_from_rotmat_np(wins)
         tmask = interpolation_mask(W, lat.interpolation_window)
         mask = jnp.asarray(np.tile(tmask[None, :, None], (B_pad, 1, 24)))

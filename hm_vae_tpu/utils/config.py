@@ -97,6 +97,15 @@ class LatentOptConfig:
     opt_gamma: float = 0.1
     interpolation_window: int = 5
     optimize_decoder: bool = True
+    # clone the decoder PER WINDOW for the fine-tune phase (vmapped over the
+    # batch axis), exactly the reference's per-window deepcopy semantics
+    # (seq_two_hier_sa_vae.py:1343-1345 interpolation, :1685-1687 completion
+    # — both inside the window loop).  False shares ONE clone across the
+    # whole batched solve: cheaper (the ~190 MB/iteration weight+moment
+    # traffic is shared, BASELINE.md) but couples the batched windows.
+    # Per-window costs ~3x the decoder f32 bytes per window in HBM
+    # (weights + 2 Adam moments, ~82 MB/window on the len-64 model).
+    per_window_decoder: bool = True
     optimize_trajectory: bool = False
     # Adam moment storage dtype for the SOLVER (see OptimConfig.moment_dtype).
     # Named opt_* like the other solver knobs so a flat-yaml `moment_dtype:`
@@ -127,6 +136,12 @@ class DataConfig:
     mean_std_path: str = ""          # empty -> vendored asset
     fps_aug_flag: bool = False
     random_root_rot_flag: bool = False
+    # where random_root_rot runs: True (default) = jitted per-batch device op
+    # inside the Trainer's ingest (data/device_aug.py — keeps the C++ wire
+    # path for aug-enabled configs, SURVEY §7 item 4); False = the
+    # reference-style host numpy aug in the sampler (disables the native
+    # fast path, utils_motion_vae.py:161-185 semantics either way)
+    device_augment: bool = True
     use_30fps_data: bool = True
     num_prefetch: int = 2
     synthetic: bool = False          # use the synthetic generator (no AMASS on disk)
@@ -166,6 +181,12 @@ class RunConfig:
     # gradient steps fused into one device dispatch (lax.scan); 1 = classic
     # step-per-dispatch.  >1 amortises host latency (see train_step.make_multi_step)
     steps_per_call: int = 1
+    # model-parallel degree of the Trainer's (data, model) mesh: latent Dense
+    # kernels shard their features over the `model` axis
+    # (parallel/sharding.py:_param_spec), remaining devices data-parallel.
+    # The reference has no TP at all (DataParallel only,
+    # train_motion_vae.py:49-53); 1 = data-only mesh.
+    model_parallel: int = 1
     # keep only the newest N checkpoints (0 = keep all, the reference behavior)
     keep_checkpoints: int = 0
     # halt-and-restore on non-finite loss (the reference has no failure

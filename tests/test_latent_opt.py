@@ -388,3 +388,56 @@ def test_complete_many_rejects_short_sequences():
             np.asarray(_rand_rotmat_seq(jax.random.PRNGKey(2), W - 3))]
     with pytest.raises(ValueError, match=r"sequences \[1\].*shorter"):
         apps.complete_many(seqs, jax.random.PRNGKey(5), missing="lower")
+
+
+def test_per_window_solve_matches_independent_single_window_solves():
+    """per_window_decoder=True (default): a batched solve is EXACTLY B
+    independent per-window solves — own z trajectory, own decoder clone +
+    Adam state per window, the reference's per-window-loop semantics
+    (seq_two_hier_sa_vae.py:1343-1345, :1685-1687).  Verified by comparing
+    each window of a B=2 batched solve against its own B=1 solve.  (A gentle
+    constant lr keeps Adam from amplifying vmap-batching reassociation noise.)
+    """
+    import dataclasses
+
+    from hm_vae_tpu.apps.tasks import _targets_from_rotmat
+
+    model, params = _model_and_params()
+    lat = dataclasses.replace(CFG.latent_opt, opt_it=20, prev_epochs=8,
+                              opt_lr=0.02, opt_lr_policy="constant")
+    solve = make_latent_optimizer(model, CFG, lat=lat)
+    mats = [_rand_rotmat_seq(jax.random.PRNGKey(k), 8)[None] for k in (1, 2)]
+    both = jnp.concatenate(mats)
+    mask_b = jnp.ones((2, 8, 24))
+    z = init_z(jax.random.PRNGKey(3), CFG, 2)
+    zr = jax.tree.map(jnp.zeros_like, z)
+    res_b = solve(params, _targets_from_rotmat(both), mask_b, z, zr)
+    assert res_b.final_loss.shape == (2,)
+
+    for i, m in enumerate(mats):
+        z1 = jax.tree.map(lambda x: x[i : i + 1], z)
+        res1 = solve(params, _targets_from_rotmat(m), jnp.ones((1, 8, 24)),
+                     z1, jax.tree.map(jnp.zeros_like, z1))
+        np.testing.assert_allclose(np.asarray(res_b.last_6d[i]),
+                                   np.asarray(res1.last_6d[0]), atol=5e-3)
+        np.testing.assert_allclose(float(res_b.final_loss[i]),
+                                   float(res1.final_loss[0]), rtol=0.05)
+
+
+def test_shared_decoder_mode_still_available():
+    """per_window_decoder=False restores the round-2 shared-clone batched
+    formulation (documented throughput trade)."""
+    import dataclasses
+
+    from hm_vae_tpu.apps.tasks import _targets_from_rotmat
+
+    model, params = _model_and_params()
+    lat = dataclasses.replace(CFG.latent_opt, per_window_decoder=False)
+    solve = make_latent_optimizer(model, CFG, lat=lat)
+    mats = jnp.concatenate(
+        [_rand_rotmat_seq(jax.random.PRNGKey(k), 8)[None] for k in (4, 5)])
+    z = init_z(jax.random.PRNGKey(6), CFG, 2)
+    res = solve(params, _targets_from_rotmat(mats), jnp.ones((2, 8, 24)), z,
+                jax.tree.map(jnp.zeros_like, z))
+    hist = np.asarray(res.loss_history)
+    assert np.isfinite(hist).all() and hist[-1] < hist[0]
