@@ -291,17 +291,21 @@ def make_loaders(cfg: Config, data_dir: Optional[str] = None):
     )
     mean_std[1, mean_std[1] == 0] = 1.0
 
+    # with device_augment (default) the Trainer applies random_root_rot as a
+    # jitted per-batch op in its ingest, so the HOST samplers stay aug-free
+    # and the C++ fast path stays eligible; device_augment=False keeps the
+    # reference-style numpy aug in the sampler
+    host_aug = cfg.data.random_root_rot_flag and not cfg.data.device_augment
+
     def mk(split, seed):
         return MotionDataset(
             seq_dir, os.path.join(d, f"{split}.json"), mean_std,
             cfg.model.train_seq_len, fps_aug=cfg.data.fps_aug_flag,
-            random_root_rot=cfg.data.random_root_rot_flag, seed=seed,
+            random_root_rot=host_aug, seed=seed,
         )
 
     train = mk("train", cfg.run.seed)
-    # the native C++ sampler covers the no-root-rot-aug path (the common
-    # len-64 training config); the numpy path keeps full aug parity
-    if cfg.data.use_native_loader and not cfg.data.random_root_rot_flag:
+    if cfg.data.use_native_loader and not host_aug:
         try:
             from .native_loader import NativeMotionLoader
 
@@ -312,6 +316,10 @@ def make_loaders(cfg: Config, data_dir: Optional[str] = None):
             )
             native.mean, native.std = train.mean, train.std
             train = native
-        except Exception:
-            pass
+        except Exception as e:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "native C++ loader unavailable, falling back to the numpy "
+                "sampler (~2x slower end-to-end on loader-bound hosts): %r", e)
     return train, mk("val", cfg.run.seed + 1), mk("test", cfg.run.seed + 2)

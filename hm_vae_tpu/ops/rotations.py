@@ -120,20 +120,55 @@ def aa_to_rotmat(aa: jnp.ndarray, eps: float = 1e-8) -> jnp.ndarray:
     return jnp.stack([row0, row1, row2], axis=-2)
 
 
-def rotmat_to_aa(rotmat: jnp.ndarray, eps: float = 1e-7) -> jnp.ndarray:
-    """Rotation matrix (..., 3, 3) -> axis-angle (..., 3) (log map)."""
-    trace = rotmat[..., 0, 0] + rotmat[..., 1, 1] + rotmat[..., 2, 2]
-    cos = jnp.clip((trace - 1.0) / 2.0, -1.0 + eps, 1.0 - eps)
-    angle = jnp.arccos(cos)  # (...,)
-    # off-diagonal differences ~ 2 sin(angle) * axis
-    vec = jnp.stack(
-        [
-            rotmat[..., 2, 1] - rotmat[..., 1, 2],
-            rotmat[..., 0, 2] - rotmat[..., 2, 0],
-            rotmat[..., 1, 0] - rotmat[..., 0, 1],
-        ],
-        axis=-1,
-    )
-    sin = jnp.sin(angle)[..., None]
-    axis = vec / jnp.maximum(2.0 * sin, eps)
-    return axis * angle[..., None]
+def rotmat_to_aa(rotmat: jnp.ndarray, eps: float = 1e-12) -> jnp.ndarray:
+    """Rotation matrix (..., 3, 3) -> axis-angle (..., 3), robust SO(3) log.
+
+    Mirrors the C++ loader's sidecar log map (``native/loader.cpp``):
+    ``theta = atan2(|skew|, trace-1)`` is well-conditioned over all of
+    [0, pi] — the plain ``acos((tr-1)/2)`` form loses ~1e-2 of |aa| near
+    ``theta = pi`` where its derivative blows up as ``1/sin`` — and near pi
+    the axis comes from the SYMMETRIC part (``a_i^2 = (R_ii - cos)/(1-cos)``,
+    O(1)-conditioned there) instead of the vanishing skew part.  Fully
+    branchless (``jnp.where`` selects), so it vectorises on the VPU.
+    """
+    tr = rotmat[..., 0, 0] + rotmat[..., 1, 1] + rotmat[..., 2, 2]
+    vx = rotmat[..., 2, 1] - rotmat[..., 1, 2]
+    vy = rotmat[..., 0, 2] - rotmat[..., 2, 0]
+    vz = rotmat[..., 1, 0] - rotmat[..., 0, 1]
+    vn = jnp.sqrt(vx * vx + vy * vy + vz * vz)
+    theta = jnp.arctan2(vn, tr - 1.0)
+
+    # skew-part axis; theta/vn -> 1/2 smoothly as theta -> 0
+    k = jnp.where(vn < 1e-12, 0.5, theta / jnp.maximum(vn, eps))
+    aa_skew = k[..., None] * jnp.stack([vx, vy, vz], axis=-1)
+
+    # symmetric-part axis for theta near pi; signs fixed off the largest
+    # component, overall sign from the (tiny but directional) skew part
+    cos_t = jnp.clip((tr - 1.0) / 2.0, -1.0, 1.0)
+    d = jnp.maximum(1.0 - cos_t, eps)
+    sq = lambda x: jnp.sqrt(jnp.maximum(x, 0.0))  # noqa: E731
+    ax = sq((rotmat[..., 0, 0] - cos_t) / d)
+    ay = sq((rotmat[..., 1, 1] - cos_t) / d)
+    az = sq((rotmat[..., 2, 2] - cos_t) / d)
+    sxy = rotmat[..., 0, 1] + rotmat[..., 1, 0]
+    sxz = rotmat[..., 0, 2] + rotmat[..., 2, 0]
+    syz = rotmat[..., 1, 2] + rotmat[..., 2, 1]
+    two_d = 2.0 * d
+    # per-case sign fixes (guarded denominators; unselected lanes are junk
+    # but finite, jnp.where discards them)
+    ay_x = sxy / jnp.maximum(two_d * ax, eps)
+    az_x = sxz / jnp.maximum(two_d * ax, eps)
+    ax_y = sxy / jnp.maximum(two_d * ay, eps)
+    az_y = syz / jnp.maximum(two_d * ay, eps)
+    ax_z = sxz / jnp.maximum(two_d * az, eps)
+    ay_z = syz / jnp.maximum(two_d * az, eps)
+    cx = (ax >= ay) & (ax >= az)
+    cy = (~cx) & (ay >= az)
+    axf = jnp.where(cx, ax, jnp.where(cy, ax_y, ax_z))
+    ayf = jnp.where(cx, ay_x, jnp.where(cy, ay, ay_z))
+    azf = jnp.where(cx, az_x, jnp.where(cy, az_y, az))
+    flip = jnp.where(vx * axf + vy * ayf + vz * azf < 0, -1.0, 1.0)
+    a_sym = flip[..., None] * jnp.stack([axf, ayf, azf], axis=-1)
+    aa_sym = theta[..., None] * a_sym
+
+    return jnp.where(theta[..., None] < 3.0, aa_skew, aa_sym)

@@ -50,11 +50,19 @@ class Trainer:
         self._save_error = None
         self._snapshot_fn = None
         if mesh is None:
-            # data-parallel degree must divide the global batch
+            # (data, model) mesh from the run config: `model` axis from
+            # run.model_parallel, the data-parallel degree must divide the
+            # global batch
             import math
 
-            n = math.gcd(len(jax.devices()), cfg.optim.batch_size)
-            mesh = sh.make_mesh(max(n, 1))
+            mp = max(1, cfg.run.model_parallel)
+            nd = len(jax.devices())
+            if nd % mp != 0:
+                raise ValueError(
+                    f"model_parallel={mp} does not divide the "
+                    f"{nd} available devices")
+            n = math.gcd(nd // mp, cfg.optim.batch_size)
+            mesh = sh.make_mesh(max(n, 1) * mp, model_parallel=mp)
         self.mesh = mesh
         self.mean_std = mean_std
 
@@ -165,10 +173,31 @@ class Trainer:
                 return jnp.copy(x)
             return x.astype(jnp.float32)
 
-        self._ingest_multi = jax.jit(
-            lambda t: jax.tree.map(ingest_leaf, t), out_shardings=multi_bsh)
-        self._ingest_single = jax.jit(
-            lambda t: jax.tree.map(ingest_leaf, t), out_shardings=bsh)
+        # random_root_rot as a fused device op inside the ingest jit: the
+        # C++ loader ships compact UN-augmented windows and the per-batch
+        # rotation happens on device (data/device_aug.py) — aug-enabled
+        # configs keep the native wire path
+        aug = None
+        if self.cfg.data.random_root_rot_flag and self.cfg.data.device_augment:
+            from ..data.device_aug import make_root_rot_augment
+
+            aug = make_root_rot_augment(self.mean_std)
+        self._aug_rng = jax.random.PRNGKey(self.cfg.run.seed + 91)
+        self._ingest_count = 0
+
+        if aug is None:
+            self._ingest_multi = jax.jit(
+                lambda t: jax.tree.map(ingest_leaf, t),
+                out_shardings=multi_bsh)
+            self._ingest_single = jax.jit(
+                lambda t: jax.tree.map(ingest_leaf, t), out_shardings=bsh)
+        else:
+            def ingest_aug(t, key):
+                return aug(jax.tree.map(ingest_leaf, t), key)
+
+            self._ingest_multi = jax.jit(ingest_aug, out_shardings=multi_bsh)
+            self._ingest_single = jax.jit(ingest_aug, out_shardings=bsh)
+        self._augment = aug
         self._wire_dtype = (np.float16 if self.cfg.data.transfer_dtype ==
                             "float16" else np.float32)
 
@@ -178,6 +207,20 @@ class Trainer:
             return jax.tree.map(lambda x: x.astype(self._wire_dtype), t)
 
         self._to_wire = to_wire
+
+    def _ingest_m(self, t):
+        if self._augment is None:
+            return self._ingest_multi(t)
+        self._ingest_count += 1
+        return self._ingest_multi(
+            t, jax.random.fold_in(self._aug_rng, self._ingest_count))
+
+    def _ingest_s(self, t):
+        if self._augment is None:
+            return self._ingest_single(t)
+        self._ingest_count += 1
+        return self._ingest_single(
+            t, jax.random.fold_in(self._aug_rng, self._ingest_count))
 
     # ------------------------------------------------------------------
     # checkpointing
@@ -360,7 +403,7 @@ class Trainer:
                 # 50ms/call vs 1.4ms; see BASELINE.md)
                 if K > 1 and i + K <= max_iter:
                     if pending is None:
-                        pending = self._ingest_multi(
+                        pending = self._ingest_m(
                             self._to_wire(_next_super()))
                     cur, pending = pending, None
                     self.state, metrics = self._multi_fn(
@@ -368,7 +411,7 @@ class Trainer:
                     if i + 2 * K <= max_iter:
                         # prefetch the next superbatch onto the device while
                         # the step above runs
-                        pending = self._ingest_multi(
+                        pending = self._ingest_m(
                             self._to_wire(_next_super()))
                     i += K
                 elif native_super:
@@ -379,12 +422,12 @@ class Trainer:
                     for j in range(rem):
                         row = jax.tree.map(lambda x: x[j], sb)
                         self.state, metrics = self._step_fn(
-                            self.state, self._ingest_single(self._to_wire(row)),
+                            self.state, self._ingest_s(self._to_wire(row)),
                             jax.random.fold_in(rng, i))
                         i += 1
                 else:
                     self.state, metrics = self._step_fn(
-                        self.state, self._ingest_single(self._to_wire(next(it))),
+                        self.state, self._ingest_s(self._to_wire(next(it))),
                         jax.random.fold_in(rng, i))
                     i += 1
 
@@ -437,12 +480,17 @@ class Trainer:
         finally:
             if hasattr(it, "close"):
                 it.close()
+            # capture BEFORE entering the except handler: inside the handler
+            # sys.exc_info() is the RuntimeError being handled, never None,
+            # which made the clean-exit re-raise unreachable (a failed async
+            # save would be logged and swallowed)
+            import sys
+
+            propagating = sys.exc_info()[0] is not None
             try:
                 self.wait_for_saves()
             except RuntimeError:
-                import sys
-
-                if sys.exc_info()[0] is None:
+                if not propagating:
                     raise  # clean exit path: surface the failed save
                 # an exception is already propagating — don't mask it
                 logging.getLogger(__name__).exception(

@@ -1,0 +1,182 @@
+"""Device-side random root-rotation augmentation tests.
+
+The aug must (a) apply the exact transformation of the numpy sampler
+(`MotionDataset._augment_root_rot`, itself `utils_motion_vae.py:161-185`),
+(b) draw from the same rotation distribution, and (c) keep the C++ native
+loader eligible for aug-enabled configs while matching the numpy-aug path
+distributionally.
+"""
+
+import dataclasses
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from hm_vae_tpu.data import dataset as ds_mod
+from hm_vae_tpu.data import device_aug, layout, synthetic
+from hm_vae_tpu.ops import rotations as rot
+from hm_vae_tpu.utils.config import Config, DataConfig, ModelConfig, OptimConfig, RunConfig
+
+
+def _mk_dataset(tmp_path, aug: bool, seed=0):
+    d = str(tmp_path / "d")
+    if not os.path.exists(os.path.join(d, "train.json")):
+        synthetic.generate_dataset(d, num_seqs=6, seed=5)
+    ms = np.load(os.path.join(d, "mean_std.npy")).astype(np.float32)
+    return ds_mod.MotionDataset(
+        os.path.join(d, "seqs"), os.path.join(d, "train.json"), ms, 8,
+        random_root_rot=aug, seed=seed), ms
+
+
+def test_device_rotations_are_uniform_rotations():
+    R = np.asarray(device_aug.random_rotation_matrices(
+        jax.random.PRNGKey(0), (512,)))
+    eye = np.einsum("nab,ncb->nac", R, R)
+    np.testing.assert_allclose(eye, np.broadcast_to(np.eye(3), eye.shape),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.linalg.det(R), 1.0, atol=1e-5)
+    # Haar-ish: mean rotation matrix ~ 0, mean trace ~ 0 for uniform SO(3)
+    assert np.abs(R.mean(axis=0)).max() < 0.12
+    assert abs(np.trace(R.mean(axis=0))) < 0.2
+
+
+def test_apply_matches_numpy_sampler(tmp_path, monkeypatch):
+    """Same fixed R through the device op and the numpy sampler gives
+    identical rot_mat / rot_6d / root_v."""
+    ds, ms = _mk_dataset(tmp_path, aug=False)
+    raw = np.stack([ds._sample_window(i % len(ds)) for i in range(4)])
+    batch = ds._finalize(raw)
+
+    R = np.asarray(device_aug.random_rotation_matrices(
+        jax.random.PRNGKey(3), (4,)))
+
+    # numpy path with the draw pinned to R
+    ds_aug, _ = _mk_dataset(tmp_path, aug=True)
+    monkeypatch.setattr(ds_mod, "random_rotation_matrices",
+                        lambda rng, n: R)
+    np_batch = {k: v.copy() for k, v in batch.items()}
+    ds_aug._augment_root_rot(np_batch, raw)
+
+    std = ms[1].copy()
+    std[std == 0] = 1.0
+    dev = device_aug.apply_root_rot(
+        {k: jnp.asarray(v) for k, v in batch.items()}, jnp.asarray(R),
+        jnp.asarray(ms[0][layout.ROOT_V]),
+        jnp.asarray(std[layout.ROOT_V]))
+    np.testing.assert_allclose(np.asarray(dev["rot_mat"]),
+                               np_batch["rot_mat"], atol=1e-5)
+    np.testing.assert_allclose(np.asarray(dev["rot_6d"]),
+                               np_batch["rot_6d"], atol=1e-5)
+    np.testing.assert_allclose(np.asarray(dev["root_v"]),
+                               np_batch["root_v"], atol=1e-4)
+    # non-root joints untouched
+    np.testing.assert_array_equal(np.asarray(dev["rot_mat"])[:, :, 1:],
+                                  batch["rot_mat"][:, :, 1:])
+
+
+def test_aa_wire_aug_consistent_with_rotmat_aug(tmp_path):
+    """Composing in axis-angle space (log(R @ exp(aa))) reconstructs the same
+    rotated matrices as composing in matrix space."""
+    ds, ms = _mk_dataset(tmp_path, aug=False)
+    batch = ds.sample_batch(3)
+    aa = np.asarray(rot.rotmat_to_aa(jnp.asarray(batch["rot_mat"])))
+    R = device_aug.random_rotation_matrices(jax.random.PRNGKey(7), (3,))
+    dev_m = device_aug.apply_root_rot(
+        {"rot_mat": jnp.asarray(batch["rot_mat"])}, R,
+        jnp.zeros(3), jnp.ones(3))
+    dev_a = device_aug.apply_root_rot(
+        {"aa": jnp.asarray(aa)}, R, jnp.zeros(3), jnp.ones(3))
+    recon = rot.aa_to_rotmat(dev_a["aa"])
+    np.testing.assert_allclose(np.asarray(recon), np.asarray(dev_m["rot_mat"]),
+                               atol=2e-4)
+
+
+def test_distributional_loss_parity_device_vs_numpy_aug(tmp_path):
+    """Fixed params, many batches: mean VAE loss under device-side aug
+    matches the numpy-aug path (same data, independent rotation draws) —
+    the distributional parity the verdict asked for."""
+    from hm_vae_tpu.models.hm_vae import HMVAE
+    from hm_vae_tpu.train.losses import hmvae_forward
+
+    cfg = Config(model=ModelConfig(latent_d=6, shallow_latent_d=6,
+                                   kernel_size=3, train_seq_len=8))
+    model = HMVAE(cfg.model)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 24, 6)))
+
+    ds_np, ms = _mk_dataset(tmp_path, aug=True, seed=11)
+    ds_clean, _ = _mk_dataset(tmp_path, aug=False, seed=11)
+    aug = device_aug.make_root_rot_augment(ms)
+
+    @jax.jit
+    def loss_of(batch, key):
+        b = {"rot_6d": batch["rot_6d"], "rot_mat": batch["rot_mat"]}
+        total, _ = hmvae_forward(model, params, b, key, jnp.zeros((), jnp.int32),
+                                 cfg, sample=False)
+        return total
+
+    n = 24
+    l_np, l_dev = [], []
+    for i in range(n):
+        bn = ds_np.sample_batch(8)
+        l_np.append(float(loss_of(
+            {k: jnp.asarray(bn[k]) for k in ("rot_6d", "rot_mat")},
+            jax.random.PRNGKey(i))))
+        bc = ds_clean.sample_batch(8)
+        bd = aug({k: jnp.asarray(bc[k]) for k in ("rot_6d", "rot_mat")},
+                 jax.random.fold_in(jax.random.PRNGKey(99), i))
+        l_dev.append(float(loss_of(bd, jax.random.PRNGKey(i))))
+    m_np, m_dev = np.mean(l_np), np.mean(l_dev)
+    # same data distribution => means agree well inside the batch noise band
+    assert abs(m_np - m_dev) / m_np < 0.05, (m_np, m_dev)
+
+
+def test_aug_config_trains_through_native_loader(tmp_path):
+    """random_root_rot_flag + device_augment keeps the C++ fast path: the
+    train loader is the native sampler and Trainer.fit runs the jitted aug
+    in its ingest (round-2 verdict item 3)."""
+    from hm_vae_tpu.data.native_loader import NativeMotionLoader
+    from hm_vae_tpu.train.trainer import build_trainer
+
+    cfg = Config(
+        model=ModelConfig(latent_d=6, shallow_latent_d=6, kernel_size=3,
+                          train_seq_len=8),
+        optim=OptimConfig(lr=1e-3, batch_size=4, max_iter=4),
+        data=DataConfig(synthetic=True, synthetic_num_seqs=6,
+                        data_root=str(tmp_path / "data"),
+                        random_root_rot_flag=True, use_native_loader=True),
+        run=RunConfig(log_iter=2, validation_iter=10**9,
+                      snapshot_save_iter=10**9, image_save_iter=10**9,
+                      nan_guard=False, steps_per_call=2),
+    )
+    trainer, train_ds, _, _ = build_trainer(cfg, str(tmp_path / "run"))
+    assert isinstance(train_ds, NativeMotionLoader)
+    m = trainer.fit(train_ds, None)
+    assert trainer._augment is not None
+    assert int(trainer.state.step) == 4
+    assert np.isfinite(m["loss_total"])
+
+
+def test_host_aug_mode_preserved(tmp_path):
+    """device_augment=False restores the reference-style numpy path: host
+    sampler augs, native loader skipped, trainer ingest does not re-aug."""
+    from hm_vae_tpu.train.trainer import build_trainer
+
+    cfg = Config(
+        model=ModelConfig(latent_d=6, shallow_latent_d=6, kernel_size=3,
+                          train_seq_len=8),
+        optim=OptimConfig(lr=1e-3, batch_size=4, max_iter=2),
+        data=DataConfig(synthetic=True, synthetic_num_seqs=6,
+                        data_root=str(tmp_path / "data"),
+                        random_root_rot_flag=True, device_augment=False),
+        run=RunConfig(log_iter=1, validation_iter=10**9,
+                      snapshot_save_iter=10**9, image_save_iter=10**9,
+                      nan_guard=False),
+    )
+    trainer, train_ds, _, _ = build_trainer(cfg, str(tmp_path / "run"))
+    assert isinstance(train_ds, ds_mod.MotionDataset)
+    assert train_ds.random_root_rot
+    m = trainer.fit(train_ds, None)
+    assert trainer._augment is None
+    assert np.isfinite(m["loss_total"])

