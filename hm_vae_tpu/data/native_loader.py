@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import ctypes
 import json
+import logging
 import os
 import subprocess
 from typing import Dict, Optional
@@ -16,6 +17,8 @@ from typing import Dict, Optional
 import numpy as np
 
 from . import layout
+
+log = logging.getLogger(__name__)
 
 _NATIVE_DIR = os.path.join(
     os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
@@ -38,7 +41,15 @@ def _build_library() -> Optional[str]:
            _LIB_PATH, src, "-lpthread"]
     try:
         subprocess.run(cmd, check=True, capture_output=True)
-    except Exception:
+    except subprocess.CalledProcessError as e:
+        # a toolchain regression silently dropping e2e throughput ~2x is a
+        # bug, not a fallback — carry the compiler's own error
+        log.warning("native loader C++ build failed (%s): %s",
+                    " ".join(cmd),
+                    (e.stderr or b"").decode(errors="replace").strip())
+        return None
+    except Exception as e:
+        log.warning("native loader C++ build failed: %r", e)
         return None
     return _LIB_PATH
 

@@ -133,11 +133,13 @@ def hmvae_forward(
         "loss_rec_6d": l_rec_6d,
         "loss_rec_rot": l_rec_rot,
         "loss_rec_pose": l_rec_pose,
-        "loss_hier_kl_1": kl_list[0],
-        "loss_hier_kl_2": kl_list[1],
-        "loss_hier_kl_3": kl_list[2] if nl > 2 else jnp.zeros(()),
-        "loss_hier_kl_4": kl_list[nl - 1],
     }
+    # one per-level KL metric per ACTUAL hierarchy level (the reference logs
+    # exactly four because its num_layers is always 4,
+    # trainer_motion_vae.py:56-60; indexing 4 levels unconditionally crashed
+    # num_layers<4 configs the schema permits)
+    for i in range(nl):
+        metrics[f"loss_hier_kl_{i + 1}"] = kl_list[i]
     return total, metrics
 
 

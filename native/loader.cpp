@@ -56,7 +56,10 @@ struct Loader {
   uint64_t seed = 0;
   std::atomic<uint64_t> worker_id{0};
 
-  bool aa_built = false;
+  // release store in build_aa_sidecar / acquire load at the fast-path check:
+  // the unsynchronized read in ml_sample_compact_aa_mt would otherwise race
+  // with the write under aa_mu (formal UB; benign only by call ordering)
+  std::atomic<bool> aa_built{false};
   std::mutex aa_mu;
 };
 
@@ -291,7 +294,7 @@ void rotmat_to_aa3(const float* R, float* aa) {
 
 void build_aa_sidecar(Loader* L, int threads) {
   std::lock_guard<std::mutex> lk(L->aa_mu);
-  if (L->aa_built) return;
+  if (L->aa_built.load(std::memory_order_acquire)) return;
   std::atomic<size_t> next{0};
   auto work = [&] {
     for (;;) {
@@ -314,7 +317,7 @@ void build_aa_sidecar(Loader* L, int threads) {
     for (int t = 0; t < threads; ++t) ts.emplace_back(work);
     for (auto& th : ts) th.join();
   }
-  L->aa_built = true;
+  L->aa_built.store(true, std::memory_order_release);
 }
 
 }  // namespace
@@ -487,7 +490,8 @@ void ml_sample_compact_aa_mt(void* h, int batch, int seq_len, uint64_t seed,
                              int fps_aug, float* out, float* rootv,
                              int threads) {
   Loader* L = (Loader*)h;
-  if (!L->aa_built) build_aa_sidecar(L, threads);
+  if (!L->aa_built.load(std::memory_order_acquire))
+    build_aa_sidecar(L, threads);
   ml_sample_compact_slice_mt(h, batch, seq_len, seed, fps_aug, out, rootv,
                              threads, /*offset=*/-1, /*width=*/72);
 }

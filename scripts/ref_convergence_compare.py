@@ -24,11 +24,18 @@ def main():
     ap.add_argument("--steps", type=int, default=400)
     ap.add_argument("--batch", type=int, default=4)
     ap.add_argument("--pool", type=int, default=8, help="distinct batches cycled")
+    ap.add_argument("--ours_platform", default="cpu",
+                    choices=["cpu", "device"],
+                    help="'cpu' pins our side to jitted CPU (bit-for-bit vs "
+                         "the round-1 protocol); 'device' runs our side on "
+                         "the default accelerator (the production TPU path) "
+                         "while the reference stays on its torch CPU build")
     args = ap.parse_args()
 
     import jax
 
-    jax.config.update("jax_platforms", "cpu")
+    if args.ours_platform == "cpu":
+        jax.config.update("jax_platforms", "cpu")
 
     import jax.numpy as jnp
     import numpy as np

@@ -226,3 +226,48 @@ def test_trainer_rot6d_wire_loss_matches(data_dir, tmp_path):
     l_c, _ = hmvae_forward(model, params, {"aa": jnp.asarray(wire_aa["aa"])},
                            rng, step, cfg)
     np.testing.assert_allclose(float(l_a), float(l_c), rtol=1e-4)
+
+
+def test_build_failure_warns_with_compiler_error(tmp_path, monkeypatch, caplog):
+    """A failing g++ must SURFACE (one warning carrying the compiler error),
+    not silently return None (round-2 verdict item 6)."""
+    import logging
+    import subprocess
+
+    from hm_vae_tpu.data import native_loader as nl_mod
+
+    def fail(cmd, check, capture_output):
+        raise subprocess.CalledProcessError(
+            1, cmd, stderr=b"loader.cpp:1:1: error: boom")
+
+    monkeypatch.setattr(nl_mod.subprocess, "run", fail)
+    # point the cache at an empty dir so the existing .so doesn't satisfy it
+    monkeypatch.setattr(nl_mod, "_LIB_PATH",
+                        str(tmp_path / "build" / "lib.so"))
+    with caplog.at_level(logging.WARNING,
+                         logger="hm_vae_tpu.data.native_loader"):
+        assert nl_mod._build_library() is None
+    assert any("error: boom" in r.getMessage() for r in caplog.records)
+
+
+def test_make_loaders_falls_back_with_warning(tmp_path, monkeypatch, caplog):
+    """make_loaders drops to the numpy sampler WITH a warning carrying the
+    underlying error when the native loader cannot be constructed (the old
+    `except Exception: pass` hid toolchain regressions)."""
+    import logging
+
+    from hm_vae_tpu.data import dataset as ds_mod
+    from hm_vae_tpu.data import native_loader as nl_mod
+    from hm_vae_tpu.utils.config import Config, DataConfig, ModelConfig
+
+    monkeypatch.setattr(nl_mod, "get_library", lambda: None)
+    cfg = Config(
+        model=ModelConfig(train_seq_len=8),
+        data=DataConfig(synthetic=True, synthetic_num_seqs=4,
+                        data_root=str(tmp_path / "d")),
+    )
+    with caplog.at_level(logging.WARNING, logger="hm_vae_tpu.data.dataset"):
+        train, _, _ = ds_mod.make_loaders(cfg)
+    assert isinstance(train, ds_mod.MotionDataset)
+    assert any("native C++ loader unavailable" in r.getMessage()
+               for r in caplog.records)
