@@ -45,11 +45,20 @@ def main(argv=None):
     p.add_argument("--batch_across_seqs", action="store_true",
                    help="long-seq interpolation only: flatten all sequences' "
                         "windows into one batched solve per chunk — several "
-                        "times fewer dispatches, but the decoder fine-tune is "
-                        "then SHARED across the chunk's sequences (weaker "
-                        "per-sequence specialisation; measured ~2x MPJPE on "
-                        "synthetic data — see BASELINE.md).  Default: one "
-                        "batched solve per sequence (its own decoder clone)")
+                        "times fewer dispatches.  With the default "
+                        "per-window decoder clones this is quality-neutral "
+                        "(every window keeps its own clone regardless of "
+                        "batching); combined with --shared_decoder_clone the "
+                        "fine-tune is shared across the chunk's sequences "
+                        "(measured ~2x MPJPE — BASELINE.md)")
+    p.add_argument("--shared_decoder_clone", action="store_true",
+                   help="latent_opt.per_window_decoder=False: ONE decoder "
+                        "fine-tune shared by each batched solve (the round-2 "
+                        "formulation; ~B x less decoder-phase HBM traffic, "
+                        "couples the batched windows).  Default: a private "
+                        "clone + Adam state per window, the reference's "
+                        "per-window deepcopy semantics "
+                        "(seq_two_hier_sa_vae.py:1343-1345)")
 
     p.add_argument("--final_motion_completion_long_seq", action="store_true")
     p.add_argument("--final_try_long_seq_interpolation", action="store_true")
@@ -76,6 +85,12 @@ def main(argv=None):
 
         cfg = dataclasses.replace(
             cfg, data=dataclasses.replace(cfg.data, data_root=args.data_root))
+    if args.shared_decoder_clone:
+        import dataclasses
+
+        cfg = dataclasses.replace(
+            cfg, latent_opt=dataclasses.replace(
+                cfg.latent_opt, per_window_decoder=False))
 
     model_name = os.path.splitext(os.path.basename(args.config))[0]
     if args.final_try_long_seq_interpolation:
