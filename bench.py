@@ -45,8 +45,8 @@ def _bench(mstep, state, batches, rng, calls, warmup, jax):
     return time.perf_counter() - t0, state
 
 
-def bench_end_to_end(batch: int = 64, K: int = 32, windows: int = 8,
-                     window_dispatches: int = 10, warmup_windows: int = 2):
+def bench_end_to_end(batch: int = 64, K: int = 32, windows: int = 12,
+                     window_dispatches: int = 16, warmup_windows: int = 2):
     """Full production path (configs/len64_production.yaml semantics): C++
     window sampler -> compact f16 axis-angle wire (on-device Rodrigues
     reconstruction) -> double-buffered device ingest -> K fused gradient
@@ -154,6 +154,14 @@ def bench_latent_opt(windows: int = 10, opt_it: int = 150,
 def main(batch_size: int = 8, steps_per_call: int = 32, calls: int = 30,
          warmup: int = 3) -> None:
     import jax
+
+    # persistent compile cache: the big executables (K-step scan, e2e
+    # trainer, both solver variants) cost minutes each through the relay on
+    # a cold host; compiled-code caches are keyed by platform+HLO so the
+    # CPU-test cache-poisoning issue (tests/conftest.py) does not apply to
+    # the TPU backend's dir
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_tpu_bench")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from hm_vae_tpu.models.hm_vae import HMVAE
     from hm_vae_tpu.ops import rotations as rot
