@@ -26,9 +26,17 @@ velocity change, exactly like the reference):
   (the wire carries normalised root_v, ``utils_motion_vae.py:108-114``).
 
 Fields the reference leaves untouched stay untouched (joint_pos / linear_v /
-angular_v are *not* rotated, ``utils_motion_vae.py:161-185`` touches only the
-three root quantities) — the VAE loss never consumes them, and the trajectory
-model sees the same (unrotated positions, rotated root_v) pairing either way.
+angular_v are *not* rotated — ``utils_motion_vae.py:161-185`` touches only
+the three root quantities, and its own comment says "When data_aug is True,
+only use seq_rot_6d, seq_rot_mat").  The only aug-enabled reference config
+is the len-8 VAE (``len8_data_aug_hm_vae.yaml``; the trajectory config has
+``random_root_rot_flag: False``), whose loss consumes exactly the rotation
+fields — so VAE training under this aug is semantically identical to the
+reference on every wire.  One documented divergence: a trajectory model
+trained on the COMPACT wire with aug on derives joint positions by FK of the
+(rotated) rotations, i.e. consistently-rotated inputs, where the reference's
+host aug pairs unrotated stored positions with rotated root_v; no reference
+config exercises that combination.
 """
 
 from __future__ import annotations
