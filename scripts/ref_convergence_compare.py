@@ -30,6 +30,13 @@ def main():
                          "the round-1 protocol); 'device' runs our side on "
                          "the default accelerator (the production TPU path) "
                          "while the reference stays on its torch CPU build")
+    ap.add_argument("--ours_chunk", type=int, default=1,
+                    help="gradient steps per device dispatch for our side "
+                         "(lax.scan; per-step math unchanged — the "
+                         "production multi-step path).  1 = one dispatch + "
+                         "loss readback per step; long runs through the "
+                         "relay should use ~100-500: 10k per-step round "
+                         "trips are slow and one relay hiccup kills the run")
     args = ap.parse_args()
 
     import jax
@@ -86,6 +93,9 @@ def main():
         opt.step()
         sched.step()
         ref_curve.append(float(out[0].detach()))
+        if (it + 1) % 500 == 0:
+            print(f"ref step {it + 1}/{args.steps}", file=sys.stderr,
+                  flush=True)
     t_ref = time.perf_counter() - t0
 
     # --- framework side ---
@@ -107,9 +117,52 @@ def main():
           for r6, rm in batches]
     t0 = time.perf_counter()
     our_curve = []
-    for it in range(args.steps):
-        params, opt_state, total = step(params, opt_state, jb[it % args.pool], it)
-        our_curve.append(float(total))
+    if args.ours_chunk > 1:
+        # K steps per dispatch: identical per-step math under lax.scan (the
+        # production multi-step path), batch pool indexed on device
+        pool = jax.tree.map(lambda *xs: jnp.stack(xs), *jb)
+        K = args.ours_chunk
+
+        @jax.jit
+        def chunk(p, o, it0):
+            def body(carry, i):
+                pp, oo = carry
+                it = it0 + i
+                b = jax.tree.map(lambda x: x[it % args.pool], pool)
+
+                def loss(q):
+                    total, _ = hmvae_forward(
+                        model, q, b, jax.random.PRNGKey(1), it, cfg,
+                        sample=False)
+                    return total
+
+                total, g = jax.value_and_grad(loss)(pp)
+                u, oo = tx.update(g, oo, pp)
+                return (optax.apply_updates(pp, u), oo), total
+
+            (p, o), totals = jax.lax.scan(
+                body, (p, o), jnp.arange(K, dtype=jnp.int32))
+            return p, o, totals
+
+        it = 0
+        while it < args.steps:
+            n = min(K, args.steps - it)
+            if n == K:
+                params, opt_state, totals = chunk(
+                    params, opt_state, jnp.asarray(it, jnp.int32))
+                our_curve.extend(np.asarray(totals).tolist())
+                it += K
+            else:
+                params, opt_state, total = step(params, opt_state,
+                                                jb[it % args.pool], it)
+                our_curve.append(float(total))
+                it += 1
+            print(f"ours step {it}/{args.steps}", file=sys.stderr, flush=True)
+    else:
+        for it in range(args.steps):
+            params, opt_state, total = step(
+                params, opt_state, jb[it % args.pool], it)
+            our_curve.append(float(total))
     t_ours = time.perf_counter() - t0
 
     # --- held-out quality eval at convergence: reconstruction losses on
