@@ -180,3 +180,28 @@ def test_host_aug_mode_preserved(tmp_path):
     m = trainer.fit(train_ds, None)
     assert trainer._augment is None
     assert np.isfinite(m["loss_total"])
+
+
+def test_trajectory_model_trains_with_device_aug(tmp_path):
+    """The SECOND model family under device aug: root_v is de-standardised,
+    rotated, re-standardised inside the ingest and the trajectory loss path
+    (FK-derived inputs on the compact wire) trains finitely."""
+    from hm_vae_tpu.train.trainer import build_trainer
+
+    cfg = Config(
+        model=ModelConfig(model_name="TrajectoryModel", latent_d=12,
+                          kernel_size=3, train_seq_len=8,
+                          trajectory_input_joint_pos=True),
+        optim=OptimConfig(lr=1e-3, batch_size=4, max_iter=4),
+        data=DataConfig(synthetic=True, synthetic_num_seqs=6,
+                        data_root=str(tmp_path / "data"),
+                        random_root_rot_flag=True),
+        run=RunConfig(log_iter=2, validation_iter=10**9,
+                      snapshot_save_iter=10**9, image_save_iter=10**9,
+                      nan_guard=False, steps_per_call=2),
+    )
+    trainer, train_ds, _, _ = build_trainer(cfg, str(tmp_path / "run"))
+    m = trainer.fit(train_ds, None)
+    assert trainer._augment is not None
+    assert int(trainer.state.step) == 4
+    assert np.isfinite(m["loss_total"])
