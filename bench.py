@@ -46,7 +46,8 @@ def _bench(mstep, state, batches, rng, calls, warmup, jax):
 
 
 def bench_end_to_end(batch: int = 64, K: int = 32, windows: int = 12,
-                     window_dispatches: int = 16, warmup_windows: int = 2):
+                     window_dispatches: int = 16, warmup_windows: int = 2,
+                     random_root_rot: bool = False):
     """Full production path (configs/len64_production.yaml semantics): C++
     window sampler -> compact f16 axis-angle wire (on-device Rodrigues
     reconstruction) -> double-buffered device ingest -> K fused gradient
@@ -78,7 +79,13 @@ def bench_end_to_end(batch: int = 64, K: int = 32, windows: int = 12,
         data=DataConfig(synthetic=True, synthetic_num_seqs=48,
                         data_root=os.path.join(tmp, "data"),
                         transfer_dtype="float16", compact_transfer=True,
-                        wire_format="aa"),
+                        wire_format="aa",
+                        # random_root_rot=True measures the aug-enabled
+                        # configs' path: C++ wire preserved, the rotation
+                        # applied as a jitted per-batch device op
+                        # (data/device_aug.py)
+                        random_root_rot_flag=random_root_rot,
+                        device_augment=True),
         run=RunConfig(steps_per_call=K, log_iter=win_steps,
                       validation_iter=10**9, snapshot_save_iter=10**9,
                       image_save_iter=10**9, nan_guard=False),
@@ -211,6 +218,14 @@ def main(batch_size: int = 8, steps_per_call: int = 32, calls: int = 30,
     except Exception:
         e2e = None
     try:
+        # aug-enabled configs' production path (len8_data_aug semantics at
+        # len 64): same C++ compact wire, random root rotation applied as a
+        # jitted per-batch device op.  Shorter window count — the point is
+        # the delta vs the plain row, not an independent band.
+        e2e_aug = bench_end_to_end(windows=6, random_root_rot=True)
+    except Exception:
+        e2e_aug = None
+    try:
         lo_ms = round(bench_latent_opt(per_window_decoder=True), 1)
     except Exception:
         lo_ms = None
@@ -233,6 +248,8 @@ def main(batch_size: int = 8, steps_per_call: int = 32, calls: int = 30,
             round(e2e["median"], 2) if e2e else None,
         "end_to_end_band_min": round(e2e["min"], 2) if e2e else None,
         "end_to_end_band_max": round(e2e["max"], 2) if e2e else None,
+        "end_to_end_aug_seqs_per_sec_bs64":
+            round(e2e_aug["median"], 2) if e2e_aug else None,
         "latent_opt_interp_10win_solve_ms": lo_ms,
         "latent_opt_interp_10win_shared_clone_ms": lo_shared_ms,
     }))
