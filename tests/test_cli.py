@@ -84,6 +84,42 @@ def test_all_shipped_configs_load_and_build():
             assert st.cascade.edge_num[:4] == [24, 14, 9, 7]
 
 
+def test_all_reference_configs_load_verbatim():
+    """The reference repo's own four shipped YAMLs (train len-64/len-8,
+    trajectory, interpolation-eval) must load unmodified through the typed
+    schema with their key fields landing in the right place
+    (/root/reference/configs/*.yaml)."""
+    import glob
+    import os
+
+    from hm_vae_tpu.utils.config import load_config
+
+    ref_dir = "/root/reference/configs"
+    if not os.path.isdir(ref_dir):
+        import pytest
+        pytest.skip("reference checkout not present")
+    paths = sorted(glob.glob(os.path.join(ref_dir, "*.yaml")))
+    assert len(paths) == 4
+    by_name = {os.path.basename(p): load_config(p) for p in paths}
+
+    c64 = by_name["len64_no_aug_hm_vae.yaml"]
+    assert (c64.model.train_seq_len, c64.model.kernel_size) == (64, 15)
+    assert not c64.data.random_root_rot_flag and not c64.data.fps_aug_flag
+
+    c8 = by_name["len8_data_aug_hm_vae.yaml"]
+    assert c8.model.train_seq_len == 8
+    assert c8.data.random_root_rot_flag and c8.data.fps_aug_flag
+
+    ct = by_name["trajectory_model.yaml"]
+    assert ct.model.model_name == "TrajectoryModel"
+
+    ci = by_name["len_64_test_interpolation.yaml"]
+    assert (ci.latent_opt.opt_it, ci.latent_opt.opt_lr) == (150, 0.1)
+    assert ci.latent_opt.optimize_decoder
+    assert ci.latent_opt.interpolation_window == 5
+    assert ci.latent_opt.replace_frame_with_gt
+
+
 def test_reference_style_flat_yaml_loads(tmp_path):
     """A reference-format config (flat keys incl. unknown ones) must load."""
     import yaml
