@@ -43,6 +43,12 @@ class Trainer:
     def __init__(self, cfg: Config, output_dir: str = "outputs/run",
                  mesh=None, mean_std: Optional[np.ndarray] = None):
         self.cfg = cfg
+        if cfg.run.matmul_precision != "default":
+            # process-wide by design: every jit trace in this run (train,
+            # validation, apps sharing the process) should use the same
+            # arithmetic.  See RunConfig.matmul_precision.
+            jax.config.update("jax_default_matmul_precision",
+                              cfg.run.matmul_precision)
         self.output_dir = output_dir
         self.ckpt_dir, self.image_dir = make_result_folders(output_dir)
         self.writer = MetricWriter(os.path.join(output_dir, "logs"))

@@ -192,6 +192,14 @@ class RunConfig:
     # halt-and-restore on non-finite loss (the reference has no failure
     # detection at all, SURVEY §5.3); checked at every log point
     nan_guard: bool = True
+    # jax default_matmul_precision for the whole run ("default" | "high" |
+    # "highest").  On TPU "default" feeds the MXU bf16 input passes —
+    # full-rate, and held-out quality matches the f32 reference (PARITY.md
+    # 10k-step compare) — but in memorization regimes the bf16 gradient
+    # noise floor caps how far TRAIN loss can descend; "highest" (6-pass
+    # f32 emulation) recovers reference-f32 convergence depth at a compute
+    # cost.  The torch reference is implicitly f32 everywhere.
+    matmul_precision: str = "default"
     # overlap checkpoint writes with training: save() takes a device-side
     # snapshot (non-donated copy) and a background thread does the
     # device->host readback + orbax write while the train loop keeps

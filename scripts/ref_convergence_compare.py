@@ -37,12 +37,23 @@ def main():
                          "loss readback per step; long runs through the "
                          "relay should use ~100-500: 10k per-step round "
                          "trips are slow and one relay hiccup kills the run")
+    ap.add_argument("--matmul_precision", default="default",
+                    choices=["default", "high", "highest"],
+                    help="jax default_matmul_precision for our side.  On "
+                         "TPU 'default' runs the MXU with bf16 input "
+                         "passes; 'highest' uses 6-pass f32 emulation.  "
+                         "Relevant for long memorization-regime compares "
+                         "where the bf16 gradient noise floor caps how far "
+                         "train loss can descend (see PARITY.md)")
     args = ap.parse_args()
 
     import jax
 
     if args.ours_platform == "cpu":
         jax.config.update("jax_platforms", "cpu")
+    if args.matmul_precision != "default":
+        jax.config.update("jax_default_matmul_precision",
+                          args.matmul_precision)
 
     import jax.numpy as jnp
     import numpy as np

@@ -280,3 +280,23 @@ def test_fit_with_aa_wire_f16_loss_impact(tmp_path):
     assert np.isfinite(l_aa)
     # same data/seed; only the wire representation + precision differ
     assert abs(l_aa - l_ref) < 0.05 * l_ref + 0.01
+
+
+def test_matmul_precision_knob(tmp_path):
+    """run.matmul_precision="highest" must take effect process-wide when the
+    Trainer is built (the memorization-regime convergence-depth knob — see
+    PARITY.md 10k-step device compare) and the run must still train."""
+    import dataclasses
+
+    tmp = str(tmp_path)
+    cfg = tiny_cfg(tmp, max_iter=2)
+    cfg = dataclasses.replace(
+        cfg, run=dataclasses.replace(cfg.run, matmul_precision="highest"))
+    prev = jax.config.jax_default_matmul_precision
+    try:
+        trainer, train_ds, _, _ = build_trainer(cfg, os.path.join(tmp, "run"))
+        assert str(jax.config.jax_default_matmul_precision) == "highest"
+        metrics = trainer.fit(train_ds, None)
+        assert np.isfinite(metrics["loss_total"])
+    finally:
+        jax.config.update("jax_default_matmul_precision", prev)
