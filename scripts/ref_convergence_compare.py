@@ -45,6 +45,12 @@ def main():
                          "Relevant for long memorization-regime compares "
                          "where the bf16 gradient noise floor caps how far "
                          "train loss can descend (see PARITY.md)")
+    ap.add_argument("--self_perturb", action="store_true",
+                    help="chaos control: instead of our side, train a "
+                         "second copy of the REFERENCE with one parameter "
+                         "perturbed by 1e-7 and report the pair's spread — "
+                         "the resolution floor for any cross-stack "
+                         "comparison at this horizon")
     args = ap.parse_args()
 
     import jax
@@ -108,6 +114,67 @@ def main():
             print(f"ref step {it + 1}/{args.steps}", file=sys.stderr,
                   flush=True)
     t_ref = time.perf_counter() - t0
+
+    if args.self_perturb:
+        # --- chaos control: the reference vs a 1-ulp-perturbed copy of
+        # ITSELF (same data, same torch build).  The spread of this pair
+        # bounds what any cross-stack comparison can resolve at this
+        # horizon; run it before reading anything into late-horizon
+        # train-curve ratios. ---
+        ref2 = build_vae(hp)
+        ref2.load_state_dict(sd, strict=False)
+        deterministic_z(ref2)
+        with torch.no_grad():
+            p0 = next(p for p in ref2.parameters() if p.requires_grad)
+            p0.mul_(1.0 + 1e-7)
+        opt2 = torch.optim.Adam(
+            [p for p in ref2.parameters() if p.requires_grad],
+            lr=hp["lr"], weight_decay=hp["weight_decay"])
+        sched2 = lr_scheduler.StepLR(opt2, step_size=hp["step_size"],
+                                     gamma=hp["gamma"])
+        pert_curve = []
+        for it in range(args.steps):
+            r6, rm = batches[it % args.pool]
+            data = make_batch_tuple(torch, r6, rm)
+            opt2.zero_grad()
+            out = ref2(data, hp, it, multigpus=False, validation_flag=False)
+            opt2.step()
+            sched2.step()
+            pert_curve.append(float(out[0].detach()))
+            if (it + 1) % 500 == 0:
+                print(f"perturbed-ref step {it + 1}/{args.steps}",
+                      file=sys.stderr, flush=True)
+        ref_c = np.asarray(ref_curve)
+        pert_c = np.asarray(pert_curve)
+        rel = np.abs(pert_c - ref_c) / np.abs(ref_c)
+        marks = sorted({0, 1, args.steps // 4, args.steps // 2,
+                        args.steps - 1})
+        hold_eval = {"ref": [], "perturbed": []}
+        for i in range(4):
+            rmh = R.random(args.batch * T * 24,
+                           random_state=900 + i).as_matrix()
+            rmh = rmh.astype(np.float32).reshape(args.batch, T, 24, 3, 3)
+            r6h = np.asarray(rot.rotmat_to_rot6d(jnp.asarray(rmh)),
+                             np.float32)
+            data = make_batch_tuple(torch, r6h, rmh)
+            with torch.no_grad():
+                for key, mdl in (("ref", ref), ("perturbed", ref2)):
+                    out = mdl(data, hp, args.steps, multigpus=False,
+                              validation_flag=True)
+                    hold_eval[key].append(float(out[4].detach()))
+        print(json.dumps({
+            "mode": "self_perturb", "steps": args.steps,
+            "checkpoints": {str(m): {"ref": round(float(ref_c[m]), 5),
+                                     "perturbed": round(float(pert_c[m]), 5)}
+                            for m in marks},
+            "max_rel_dev": round(float(rel.max()), 5),
+            "mean_rel_dev": round(float(rel.mean()), 5),
+            "final_ratio": round(float(pert_c[-1] / ref_c[-1]), 5),
+            "heldout_rec_pose": {
+                k: round(float(np.mean(v)), 5)
+                for k, v in hold_eval.items()},
+        }))
+        return
 
     # --- framework side ---
     tx = make_optimizer(cfg.optim)
@@ -176,6 +243,33 @@ def main():
             our_curve.append(float(total))
     t_ours = time.perf_counter() - t0
 
+    # --- component-level diagnostic on TRAIN batch 0 at the end: localises
+    # late-horizon train-curve gaps (rec vs KL; reference returns
+    # (l_total, l_kl, l_rec_6d, l_rec_rot_mat, l_rec_pose, ..., l_kl_list),
+    # seq_two_hier_sa_vae.py:415-416) ---
+    r6, rm = batches[0]
+    with torch.no_grad():
+        out = ref(make_batch_tuple(torch, r6, rm), hp, args.steps,
+                  multigpus=False, validation_flag=True)
+    ref_train0 = {
+        "total": float(out[0]), "kl_weighted": float(out[1]),
+        "rec_6d": float(out[2]), "rec_rot": float(out[3]),
+        "rec_pose": float(out[4]),
+        "kl_shallow": float(out[9][0].detach()),
+        "kl_deep": float(out[9][3].detach()),
+    }
+    _, m0 = hmvae_forward(model, params,
+                          {"rot_6d": jnp.asarray(r6), "rot_mat": jnp.asarray(rm)},
+                          jax.random.PRNGKey(1),
+                          jnp.asarray(args.steps, jnp.int32), cfg, sample=False)
+    our_train0 = {
+        "total": float(m0["loss_total"]), "kl_weighted": float(m0["loss_kl"]),
+        "rec_6d": float(m0["loss_rec_6d"]), "rec_rot": float(m0["loss_rec_rot"]),
+        "rec_pose": float(m0["loss_rec_pose"]),
+        "kl_shallow": float(m0["loss_hier_kl_1"]),
+        "kl_deep": float(m0["loss_hier_kl_4"]),
+    }
+
     # --- held-out quality eval at convergence: reconstruction losses on
     # fresh (never-trained) batches, each stack through its own forward ---
     hold = []
@@ -218,6 +312,7 @@ def main():
         "mean_rel_dev": round(float(rel.mean()), 5),
         "final_ratio": round(float(our_c[-1] / ref_c[-1]), 5),
         "loss_drop_ref": round(float(ref_c[0] / ref_c[-1]), 3),
+        "train_batch0_components": {"ref": ref_train0, "ours": our_train0},
         "heldout_recon": {
             k: {"ref": round(float(np.mean(ref_eval[k])), 5),
                 "ours": round(float(np.mean(our_eval[k])), 5)}
