@@ -292,9 +292,14 @@ def make_loaders(cfg: Config, data_dir: Optional[str] = None):
     mean_std[1, mean_std[1] == 0] = 1.0
 
     # with device_augment (default) the Trainer applies random_root_rot as a
-    # jitted per-batch op in its ingest, so the HOST samplers stay aug-free
-    # and the C++ fast path stays eligible; device_augment=False keeps the
-    # reference-style numpy aug in the sampler
+    # jitted per-batch op in its TRAIN ingest, so the HOST samplers stay
+    # aug-free and the C++ fast path stays eligible; device_augment=False
+    # keeps the reference-style numpy aug in the sampler.  Either way
+    # validation is identical: ordered_batches() forces both augs off (the
+    # documented round-2 deviation — the reference builds val/test
+    # MotionSeqData WITH the train augs, utils_motion_vae.py:220-228, making
+    # its val loss a noisy sample; ours measures clean windows), so the val
+    # split never sees the aug through either path.
     host_aug = cfg.data.random_root_rot_flag and not cfg.data.device_augment
 
     def mk(split, seed):

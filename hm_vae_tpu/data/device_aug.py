@@ -115,7 +115,10 @@ def apply_root_rot(batch: Dict[str, jnp.ndarray], R: jnp.ndarray,
 def make_root_rot_augment(mean_std: Optional[np.ndarray]):
     """Returns ``augment(batch, key) -> batch`` for use inside a jitted
     ingest.  ``mean_std`` (2, 579) supplies the root_v de/re-standardisation
-    stats; None is accepted for batches that carry no ``root_v``."""
+    stats; None is accepted ONLY for batches that carry no ``root_v`` —
+    rotating a *normalised* root velocity would be silently wrong (rotation
+    does not commute with the per-axis z-norm), so a root_v batch without
+    stats raises at trace time."""
     if mean_std is not None:
         rv_mean = jnp.asarray(np.asarray(mean_std)[0][layout.ROOT_V],
                               jnp.float32)
@@ -123,10 +126,15 @@ def make_root_rot_augment(mean_std: Optional[np.ndarray]):
         std[std == 0] = 1.0
         rv_std = jnp.asarray(std, jnp.float32)
     else:
-        rv_mean = jnp.zeros(3, jnp.float32)
-        rv_std = jnp.ones(3, jnp.float32)
+        rv_mean = rv_std = None
 
     def augment(batch: Dict[str, jnp.ndarray], key: jax.Array):
+        if "root_v" in batch and rv_mean is None:
+            raise ValueError(
+                "root-rot augmentation on a root_v-carrying batch needs the "
+                "dataset mean/std (pass mean_std to the Trainer / "
+                "make_root_rot_augment): the wire's root_v is normalised "
+                "and must be de-standardised before rotation")
         for f, ndims in (("aa", 3), ("rot_6d", 3), ("rot_mat", 4)):
             if f in batch:
                 prefix = batch[f].shape[:-ndims]

@@ -205,3 +205,24 @@ def test_trajectory_model_trains_with_device_aug(tmp_path):
     assert trainer._augment is not None
     assert int(trainer.state.step) == 4
     assert np.isfinite(m["loss_total"])
+
+
+def test_root_v_batch_without_stats_raises():
+    """mean_std=None + a root_v-carrying batch must raise at trace time:
+    the wire's root_v is normalised, and rotating it without
+    de-standardisation would be silently wrong (rotation does not commute
+    with the per-axis z-norm)."""
+    import jax
+    import jax.numpy as jnp
+    import pytest
+
+    from hm_vae_tpu.data import device_aug
+
+    aug = device_aug.make_root_rot_augment(None)
+    batch = {"rot_6d": jnp.zeros((2, 8, 24, 6)),
+             "root_v": jnp.zeros((2, 8, 3))}
+    with pytest.raises(ValueError, match="root_v"):
+        aug(batch, jax.random.PRNGKey(0))
+    # no root_v: None stats are fine
+    out = aug({"rot_6d": jnp.ones((2, 8, 24, 6))}, jax.random.PRNGKey(0))
+    assert out["rot_6d"].shape == (2, 8, 24, 6)
