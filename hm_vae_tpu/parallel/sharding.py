@@ -54,9 +54,14 @@ def _param_spec(path: Tuple, leaf: jax.ShapeDtypeStruct, model_size: int) -> P:
     names = [getattr(p, "key", getattr(p, "name", "")) for p in path]
     joined = "/".join(str(n) for n in names)
     if model_size > 1 and ("latent_head" in joined or "latent_dec" in joined):
-        if names[-1] == "kernel" and leaf.shape[-1] % model_size == 0:
+        # rank guards: the optimizer's per-leaf step counters
+        # (TorchAdamL2State.counts) mirror the param tree with SCALAR
+        # leaves, so a "kernel"-pathed leaf is not necessarily rank>=2
+        if (names[-1] == "kernel" and leaf.ndim >= 2
+                and leaf.shape[-1] % model_size == 0):
             return P(None, "model")
-        if names[-1] == "bias" and leaf.shape[-1] % model_size == 0:
+        if (names[-1] == "bias" and leaf.ndim >= 1
+                and leaf.shape[-1] % model_size == 0):
             return P("model")
     return P()
 

@@ -69,6 +69,88 @@ def scale_by_adam_stored(b1: float = 0.9, b2: float = 0.999,
     return optax.GradientTransformation(init, update)
 
 
+class TorchAdamL2State(NamedTuple):
+    count: chex.Array      # global iteration (LR schedule; StepLR ticks every step)
+    counts: chex.PyTreeDef  # per-leaf torch ``state['step']`` counters
+    mu: chex.PyTreeDef
+    nu: chex.PyTreeDef
+
+
+def torch_adam_l2(cfg: OptimConfig) -> optax.GradientTransformation:
+    """Adam + L2-in-gradient + StepLR with torch's per-parameter
+    ``grad is None`` skip semantics, fused into one transformation.
+
+    torch's ``Adam`` loop does ``if p.grad is None: continue`` — a parameter
+    outside the autograd graph this step gets NO update: no weight decay, no
+    moment update, and its ``state['step']`` (bias-correction counter) does
+    not advance; state is only created when the first real gradient arrives.
+    The reference depends on this: below the KL-curriculum boundary the
+    shallow + middle latent heads are fully detached
+    (``seq_two_hier_sa_vae.py:381-388``, heads listed in PARITY.md), so they
+    stay frozen at their init values until iteration 50k and re-enter
+    training with FRESH bias correction.  A plain
+    ``add_decayed_weights -> scale_by_adam`` chain instead sees exact-zero
+    gradients, decays those heads to zero over ~10k steps, and (measured)
+    caps how deeply the model can fit.
+
+    Functional equivalent: a leaf whose gradient tensor is identically zero
+    is "untouched" this step — updates, moments and its per-leaf count are
+    all carried through unchanged.  (Exact-zero is the jit-traceable proxy
+    for torch's ``None``: a parameter genuinely in the graph essentially
+    never has an all-zero f32 gradient, and the detached heads always do.)
+    With every leaf touched this reduces bit-for-bit to the plain chain
+    (same update expression, counts all equal the global count) — covered by
+    the torch-chain equivalence tests.  ``moment_dtype`` storage matches
+    :func:`scale_by_adam_stored`.
+    """
+    b1, b2, eps = 0.9, 0.999, 1e-8
+    wd = float(cfg.weight_decay or 0.0)
+    dt = jnp.dtype(cfg.moment_dtype)
+    sched = make_schedule(cfg)
+
+    def init(params):
+        mu = jax.tree.map(lambda p: jnp.zeros_like(p, dtype=dt), params)
+        nu = jax.tree.map(lambda p: jnp.zeros_like(p, dtype=dt), params)
+        counts = jax.tree.map(lambda p: jnp.zeros((), jnp.int32), params)
+        return TorchAdamL2State(jnp.zeros((), jnp.int32), counts, mu, nu)
+
+    def update(grads, state, params):
+        if params is None:
+            raise ValueError("torch_adam_l2 needs params (L2 + skip mask)")
+        gcount = state.count + 1
+        lr = sched(state.count)
+
+        def one(g, p, m, v, c):
+            touched = jnp.any(g != 0)
+            g32 = g.astype(jnp.float32)
+            if wd:
+                g32 = g32 + wd * p.astype(jnp.float32)
+            cn = c + touched.astype(jnp.int32)
+            # untouched leaves keep cn == c (possibly 0); clamp so the
+            # discarded branch of the where() below can't divide by zero
+            cf = jnp.maximum(cn, 1).astype(jnp.float32)
+            m32 = b1 * m.astype(jnp.float32) + (1 - b1) * g32
+            v32 = b2 * v.astype(jnp.float32) + (1 - b2) * g32 * g32
+            u = -lr * (m32 / (1 - b1 ** cf)) / (
+                jnp.sqrt(v32 / (1 - b2 ** cf)) + eps)
+            zero = jnp.zeros_like(u)
+            return (jnp.where(touched, u, zero).astype(p.dtype),
+                    jnp.where(touched, m32, m.astype(jnp.float32)).astype(dt),
+                    jnp.where(touched, v32, v.astype(jnp.float32)).astype(dt),
+                    cn)
+
+        out = jax.tree.map(one, grads, params, state.mu, state.nu,
+                           state.counts)
+        leaf = lambda t: isinstance(t, tuple)
+        upd = jax.tree.map(lambda t: t[0], out, is_leaf=leaf)
+        mu = jax.tree.map(lambda t: t[1], out, is_leaf=leaf)
+        nu = jax.tree.map(lambda t: t[2], out, is_leaf=leaf)
+        counts = jax.tree.map(lambda t: t[3], out, is_leaf=leaf)
+        return upd, TorchAdamL2State(gcount, counts, mu, nu)
+
+    return optax.GradientTransformation(init, update)
+
+
 def make_schedule(cfg: OptimConfig) -> optax.Schedule:
     return make_schedule_raw(cfg.lr, cfg.lr_policy, cfg.step_size, cfg.gamma)
 
@@ -86,6 +168,8 @@ def make_schedule_raw(lr: float, policy: str, step_size, gamma: float) -> optax.
 
 
 def make_optimizer(cfg: OptimConfig) -> optax.GradientTransformation:
+    if cfg.none_grad_skip:
+        return torch_adam_l2(cfg)
     parts = []
     if cfg.weight_decay:
         parts.append(optax.add_decayed_weights(cfg.weight_decay))

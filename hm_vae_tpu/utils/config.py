@@ -81,6 +81,17 @@ class OptimConfig:
     # cost in update precision.  "float32" (default) is bit-exact with the
     # torch Adam chain.
     moment_dtype: str = "float32"
+    # torch skips a parameter whose .grad is None — no moment update, no
+    # weight decay, and a PER-PARAMETER Adam step count that only starts
+    # once a real gradient arrives.  In the reference this matters: below
+    # the KL-curriculum boundary the shallow + middle latent heads are fully
+    # detached (seq_two_hier_sa_vae.py:381-388), so torch leaves them FROZEN
+    # AT INIT until iteration 50k, while a plain optax chain weight-decays
+    # their zero-grad tensors to exact zero (measured: shallow-KL collapses
+    # to 0 and memorization depth is capped — PARITY.md 10k-step compare).
+    # True (default) replicates torch per-tensor: a leaf whose gradient is
+    # identically zero is skipped for that step.
+    none_grad_skip: bool = True
 
 
 @dataclasses.dataclass(frozen=True)

@@ -240,3 +240,50 @@ def test_num_layers_3_trains_and_logs():
     # deepest + shallow enter the objective; the middle level's KL is zero
     assert float(metrics["loss_hier_kl_2"]) == 0.0
     assert float(metrics["loss_hier_kl_3"]) > 0.0
+
+
+def test_none_grad_skip_matches_torch_lazy_params():
+    """torch skips grad-is-None params entirely (frozen at init, no decay,
+    per-param step count starting at first real gradient).  The default
+    optimizer (OptimConfig.none_grad_skip) must reproduce that for a leaf
+    whose gradient is identically zero — the jit proxy for torch's None —
+    including the FRESH bias correction when the leaf wakes up, as the
+    reference's shallow latent head does at the KL-curriculum boundary
+    (seq_two_hier_sa_vae.py:381-388)."""
+    torch = pytest.importorskip("torch")
+    w0a = np.array([1.1, -2.3, 3.7], dtype=np.float32)
+    w0b = np.array([0.7, 0.9, -1.4], dtype=np.float32)
+    ga = np.array([0.13, 0.21, -0.08], dtype=np.float32)
+    gb = np.array([-0.05, 0.17, 0.29], dtype=np.float32)
+
+    ta = torch.nn.Parameter(torch.from_numpy(w0a.copy()))
+    tb = torch.nn.Parameter(torch.from_numpy(w0b.copy()))
+    topt = torch.optim.Adam([ta, tb], lr=0.01, weight_decay=0.1)
+    for it in range(8):
+        topt.zero_grad(set_to_none=True)
+        ta.grad = torch.from_numpy(ga.copy())
+        if it >= 5:                      # b "enters the graph" at step 5
+            tb.grad = torch.from_numpy(gb.copy())
+        topt.step()
+
+    cfg = OptimConfig(lr=0.01, weight_decay=0.1, lr_policy="constant")
+    assert cfg.none_grad_skip
+    tx = make_optimizer(cfg)
+    params = {"a": jnp.asarray(w0a), "b": jnp.asarray(w0b)}
+    state = tx.init(params)
+    frozen_checked = False
+    for it in range(8):
+        g = {"a": jnp.asarray(ga),
+             "b": jnp.asarray(gb) if it >= 5 else jnp.zeros(3, jnp.float32)}
+        upd, state = tx.update(g, state, params)
+        params = optax.apply_updates(params, upd)
+        if it == 4:
+            # zero-grad epoch over: b still bit-identical to init (torch
+            # semantics: no weight decay on sleeping params)
+            np.testing.assert_array_equal(np.asarray(params["b"]), w0b)
+            frozen_checked = True
+    assert frozen_checked
+    np.testing.assert_allclose(np.asarray(params["a"]),
+                               ta.detach().numpy(), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(params["b"]),
+                               tb.detach().numpy(), atol=1e-5)
