@@ -45,6 +45,10 @@ def main():
                          "Relevant for long memorization-regime compares "
                          "where the bf16 gradient noise floor caps how far "
                          "train loss can descend (see PARITY.md)")
+    ap.add_argument("--iteration_interval", type=int, default=None,
+                    help="override the KL-curriculum boundary (reference "
+                         "yaml: 50000) so a short run crosses the shallow-"
+                         "head wake-up transition")
     ap.add_argument("--self_perturb", action="store_true",
                     help="chaos control: instead of our side, train a "
                          "second copy of the REFERENCE with one parameter "
@@ -77,6 +81,15 @@ def main():
 
     cfg = cfg_mod.load_config("/root/reference/configs/len8_data_aug_hm_vae.yaml")
     hp = make_hp("len8_data_aug_hm_vae.yaml")
+    if args.iteration_interval is not None:
+        # shrink the KL-curriculum boundary so a short run CROSSES it: the
+        # shallow latent head sleeps (torch grad=None, frozen at init —
+        # PARITY.md) below the boundary and wakes with fresh Adam state at
+        # it == interval; both stacks must agree through the transition
+        import dataclasses
+        hp["iteration_interval"] = args.iteration_interval
+        cfg = dataclasses.replace(cfg, loss=dataclasses.replace(
+            cfg.loss, iteration_interval=args.iteration_interval))
     T = cfg.model.train_seq_len
 
     model = HMVAE(cfg.model)
