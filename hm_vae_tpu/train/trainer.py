@@ -317,16 +317,36 @@ class Trainer:
         path = path or self.latest_checkpoint()
         if path is None:
             return 0
+        path = os.path.abspath(path)  # orbax rejects relative paths
         ckptr = ocp.StandardCheckpointer()
         target = jax.tree.map(np.asarray, self.state)
-        restored = ckptr.restore(path, target)
+        try:
+            restored = ckptr.restore(path, target)
+        except Exception as e:
+            raise RuntimeError(
+                f"strict (params+opt_state+step) restore failed for {path}"
+                " — if the checkpoint was written under a different"
+                " optimizer configuration (e.g. optim.none_grad_skip"
+                " changed the opt-state layout), use load_params() for a"
+                " params-only load, or resume with the matching optimizer"
+                " settings") from e
         self.state = jax.device_put(restored, self.shardings)
         return int(self.state.step)
 
     def load_params(self, path: str) -> None:
-        """Non-strict params-only restore (load_ckpt analogue,
-        trainer_motion_vae.py:129-135)."""
-        self.resume(path)
+        """Params-only restore (load_ckpt analogue,
+        trainer_motion_vae.py:129-135): restores params + step and keeps a
+        FRESH optimizer state.  Unlike resume(), this reads the checkpoint
+        without a structure template, so checkpoints written under a
+        different optimizer configuration (e.g. pre-``none_grad_skip``
+        opt-state layouts) stay loadable for eval/inference — the reference's
+        load_ckpt likewise only feeds gen.load_state_dict."""
+        assert ocp is not None, "orbax unavailable"
+        self._join_pending_save()
+        raw = ocp.PyTreeCheckpointer().restore(os.path.abspath(path))
+        params = jax.device_put(raw["params"], self.shardings.params)
+        step = jnp.asarray(np.asarray(raw["step"]), jnp.int32)
+        self.state = self.state.replace(params=params, step=step)
 
     # ------------------------------------------------------------------
     def _save_visualizations(self, test_ds, step: int, rng) -> None:

@@ -300,3 +300,34 @@ def test_matmul_precision_knob(tmp_path):
         assert np.isfinite(metrics["loss_total"])
     finally:
         jax.config.update("jax_default_matmul_precision", prev)
+
+
+def test_load_params_across_optimizer_formats(tmp_path):
+    """load_params must stay params-only: a checkpoint written under a
+    DIFFERENT optimizer-state layout (none_grad_skip off, the pre-round-3
+    chain) must load for eval into a trainer running the current default —
+    the eval CLIs feed --test_model through this path and the reference's
+    load_ckpt likewise only restores the generator weights."""
+    import dataclasses
+
+    tmp = str(tmp_path)
+    cfg_old = tiny_cfg(tmp, max_iter=2)
+    cfg_old = dataclasses.replace(
+        cfg_old, optim=dataclasses.replace(cfg_old.optim,
+                                           none_grad_skip=False))
+    trainer, train_ds, _, _ = build_trainer(cfg_old, os.path.join(tmp, "runA"))
+    trainer.fit(train_ds, None)
+    trainer.save()
+    trainer.wait_for_saves()
+    ck = trainer.latest_checkpoint()
+    assert ck
+
+    cfg_new = tiny_cfg(tmp, max_iter=2)
+    assert cfg_new.optim.none_grad_skip
+    trainer2, _, _, _ = build_trainer(cfg_new, os.path.join(tmp, "runB"))
+    trainer2.load_params(ck)
+    assert int(trainer2.state.step) == 2
+    a = jax.tree.leaves(trainer.state.params)
+    b = jax.tree.leaves(trainer2.state.params)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
