@@ -26,6 +26,22 @@ class ScaleByAdamState(NamedTuple):
     nu: chex.PyTreeDef
 
 
+def _adam_math(g32, m, v, c1, c2, b1, b2, eps):
+    """The bias-corrected Adam update expression shared by
+    scale_by_adam_stored and torch_adam_l2 (f32 moments in, f32 out)."""
+    m32 = b1 * m.astype(jnp.float32) + (1 - b1) * g32
+    v32 = b2 * v.astype(jnp.float32) + (1 - b2) * g32 * g32
+    u = (m32 / c1) / (jnp.sqrt(v32 / c2) + eps)
+    return u, m32, v32
+
+
+def _unzip(out, n):
+    """Split a pytree of n-tuples into n pytrees."""
+    leaf = lambda t: isinstance(t, tuple)
+    return tuple(jax.tree.map(lambda t, i=i: t[i], out, is_leaf=leaf)
+                 for i in range(n))
+
+
 def scale_by_adam_stored(b1: float = 0.9, b2: float = 0.999,
                          eps: float = 1e-8,
                          moment_dtype: str = "float32"):
@@ -51,19 +67,12 @@ def scale_by_adam_stored(b1: float = 0.9, b2: float = 0.999,
         c2 = 1 - b2 ** count.astype(jnp.float32)
 
         def one(g, m, v):
-            g32 = g.astype(jnp.float32)
-            m32 = b1 * m.astype(jnp.float32) + (1 - b1) * g32
-            v32 = b2 * v.astype(jnp.float32) + (1 - b2) * g32 * g32
-            u = (m32 / c1) / (jnp.sqrt(v32 / c2) + eps)
+            u, m32, v32 = _adam_math(g.astype(jnp.float32), m, v, c1, c2,
+                                     b1, b2, eps)
             return u.astype(g.dtype), m32.astype(dt), v32.astype(dt)
 
         out = jax.tree.map(one, updates, state.mu, state.nu)
-        upd = jax.tree.map(lambda t: t[0], out,
-                           is_leaf=lambda t: isinstance(t, tuple))
-        mu = jax.tree.map(lambda t: t[1], out,
-                          is_leaf=lambda t: isinstance(t, tuple))
-        nu = jax.tree.map(lambda t: t[2], out,
-                          is_leaf=lambda t: isinstance(t, tuple))
+        upd, mu, nu = _unzip(out, 3)
         return upd, ScaleByAdamState(count, mu, nu)
 
     return optax.GradientTransformation(init, update)
@@ -98,6 +107,13 @@ def torch_adam_l2(cfg: OptimConfig) -> optax.GradientTransformation:
     all carried through unchanged.  (Exact-zero is the jit-traceable proxy
     for torch's ``None``: a parameter genuinely in the graph essentially
     never has an all-zero f32 gradient, and the detached heads always do.)
+    Known divergence corner of the proxy: a parameter that IS in the graph
+    but receives an exactly-zero gradient tensor (e.g. a head consumed only
+    by a loss term whose config weight is 0.0 yet still computed into the
+    graph) would be decayed by torch but frozen here.  No reference config
+    can hit this — the reference hard-zeroes disabled loss terms instead of
+    weighting live ones (``seq_two_hier_sa_vae.py:398-407``), so such heads
+    are grad-None (skipped) in torch too.
     With every leaf touched this reduces bit-for-bit to the plain chain
     (same update expression, counts all equal the global count) — covered by
     the torch-chain equivalence tests.  ``moment_dtype`` storage matches
@@ -129,10 +145,9 @@ def torch_adam_l2(cfg: OptimConfig) -> optax.GradientTransformation:
             # untouched leaves keep cn == c (possibly 0); clamp so the
             # discarded branch of the where() below can't divide by zero
             cf = jnp.maximum(cn, 1).astype(jnp.float32)
-            m32 = b1 * m.astype(jnp.float32) + (1 - b1) * g32
-            v32 = b2 * v.astype(jnp.float32) + (1 - b2) * g32 * g32
-            u = -lr * (m32 / (1 - b1 ** cf)) / (
-                jnp.sqrt(v32 / (1 - b2 ** cf)) + eps)
+            u, m32, v32 = _adam_math(g32, m, v, 1 - b1 ** cf, 1 - b2 ** cf,
+                                     b1, b2, eps)
+            u = -lr * u
             zero = jnp.zeros_like(u)
             return (jnp.where(touched, u, zero).astype(p.dtype),
                     jnp.where(touched, m32, m.astype(jnp.float32)).astype(dt),
@@ -141,11 +156,7 @@ def torch_adam_l2(cfg: OptimConfig) -> optax.GradientTransformation:
 
         out = jax.tree.map(one, grads, params, state.mu, state.nu,
                            state.counts)
-        leaf = lambda t: isinstance(t, tuple)
-        upd = jax.tree.map(lambda t: t[0], out, is_leaf=leaf)
-        mu = jax.tree.map(lambda t: t[1], out, is_leaf=leaf)
-        nu = jax.tree.map(lambda t: t[2], out, is_leaf=leaf)
-        counts = jax.tree.map(lambda t: t[3], out, is_leaf=leaf)
+        upd, mu, nu, counts = _unzip(out, 4)
         return upd, TorchAdamL2State(gcount, counts, mu, nu)
 
     return optax.GradientTransformation(init, update)

@@ -322,6 +322,8 @@ class Trainer:
         target = jax.tree.map(np.asarray, self.state)
         try:
             restored = ckptr.restore(path, target)
+        except FileNotFoundError:
+            raise                    # a wrong path is not a layout problem
         except Exception as e:
             raise RuntimeError(
                 f"strict (params+opt_state+step) restore failed for {path}"
@@ -334,19 +336,24 @@ class Trainer:
         return int(self.state.step)
 
     def load_params(self, path: str) -> None:
-        """Params-only restore (load_ckpt analogue,
-        trainer_motion_vae.py:129-135): restores params + step and keeps a
-        FRESH optimizer state.  Unlike resume(), this reads the checkpoint
+        """Weights-only restore — the reference's exact load_ckpt semantics
+        (``trainer_motion_vae.py:129-135``: load_state_dict only; optimizer
+        state AND the iteration counter stay fresh, so ``--test_model`` +
+        training warm-starts the schedule from 0).  Reads the checkpoint
         without a structure template, so checkpoints written under a
         different optimizer configuration (e.g. pre-``none_grad_skip``
-        opt-state layouts) stay loadable for eval/inference — the reference's
-        load_ckpt likewise only feeds gen.load_state_dict."""
+        opt-state layouts) stay loadable for eval/inference."""
         assert ocp is not None, "orbax unavailable"
         self._join_pending_save()
-        raw = ocp.PyTreeCheckpointer().restore(os.path.abspath(path))
+        # partial restore: read ONLY the params subtree (placeholder leaves
+        # carry structure, not values) — skipping the Adam moments halves the
+        # checkpoint I/O on this host and tolerates any opt-state layout
+        skeleton = {"params": jax.tree.map(lambda _: 0, self.state.params)}
+        raw = ocp.PyTreeCheckpointer().restore(
+            os.path.abspath(path),
+            args=ocp.args.PyTreeRestore(item=skeleton, partial_restore=True))
         params = jax.device_put(raw["params"], self.shardings.params)
-        step = jnp.asarray(np.asarray(raw["step"]), jnp.int32)
-        self.state = self.state.replace(params=params, step=step)
+        self.state = self.state.replace(params=params)
 
     # ------------------------------------------------------------------
     def _save_visualizations(self, test_ds, step: int, rng) -> None:
