@@ -7,7 +7,9 @@ single-window surface — ``--final_motion_completion`` (random per-frame joint
 masks via ``missing_joint_prob``) and
 ``--try_interpolation_w_trajectory_single_window`` (keyframe trajectory loss)
 — whose target methods are missing from the released reference model
-(``trainer_motion_vae.py:214-229``).  ``--trajectory_config`` /
+(``trainer_motion_vae.py:214-229``) — and ``--test_model_rec`` (posterior-mean
+reconstruction quality over the test split, the intended surface at
+``trainer_motion_vae.py:160-161``).  ``--trajectory_config`` /
 ``--trajectory_test_model`` hook in the root-trajectory model.
 
 Evaluation defaults to the FULL test split (``--max_seqs -1``); single-window
@@ -66,6 +68,13 @@ def main(argv=None):
     p.add_argument("--final_motion_completion", action="store_true")
     p.add_argument("--try_interpolation_w_trajectory_single_window",
                    action="store_true")
+    p.add_argument("--test_model_rec", action="store_true",
+                   help="posterior-mean reconstruction quality over the test "
+                        "split (MPJPE / PA-MPJPE / accel error) — the "
+                        "reference's *intended* test_model_rec API "
+                        "(trainer_motion_vae.py:160-161; the released model "
+                        "lacks the method).  No latent optimization: one "
+                        "batched encode/decode over all windows")
     args = p.parse_args(argv)
 
     import jax
@@ -106,6 +115,8 @@ def main(argv=None):
     elif args.try_interpolation_w_trajectory_single_window:
         task, out_name = ("interpolation_sw",
                           "eval_interpolation_w_trajectory_single_window")
+    elif args.test_model_rec:
+        task, out_name = "reconstruction", "eval_reconstruction"
     else:
         p.error("choose one of the task flags")
     output_dir = os.path.join(args.output_path, out_name, model_name)
@@ -171,6 +182,13 @@ def main(argv=None):
     n_eval = len(eval_ds) if args.max_seqs < 0 else min(args.max_seqs,
                                                         len(eval_ds))
 
+    if task == "reconstruction":
+        from ..apps.inference import VAEInference
+
+        infer = VAEInference(trainer.model, trainer.state.params, cfg)
+        _run_reconstruction(args, infer, eval_ds, n_eval, W, traj_runner,
+                            output_dir)
+        return
     if task in ("completion_sw", "interpolation_sw"):
         _run_single_window(args, task, apps, eval_ds, n_eval, W, rng,
                            traj_runner, output_dir)
@@ -290,6 +308,62 @@ def _write_summary(results, output_dir):
     print("summary:", summary)
     with open(os.path.join(output_dir, "summary.json"), "w") as f:
         json.dump(summary, f, indent=2)
+
+
+def _run_reconstruction(args, infer, eval_ds, n_eval, W, traj_runner,
+                        output_dir):
+    """Posterior-mean reconstruction over the test split — the reference's
+    intended ``test_model_rec`` surface (``trainer_motion_vae.py:160-161``),
+    implemented as ONE batched encode/decode per chunk: every sequence is cut
+    into non-overlapping ``train_seq_len`` windows, all windows of a chunk
+    flatten into a single batch (padded by cycling to a x32 shape so the jit
+    compiles once), and metrics are MPJPE / PA-MPJPE / accel error vs GT FK.
+    No latent optimization is involved, so this is the cheapest quality row:
+    it isolates pure VAE reconstruction from solver effects."""
+    import jax.numpy as jnp
+
+    from ..apps.metrics import accel_error, mpjpe, pa_mpjpe
+    from ..ops import fk as fk_mod
+    from ..ops import rotations as rot
+
+    results = []
+    for chunk in _chunked(_iter_eligible(eval_ds, n_eval, W), args.chunk):
+        wins, counts = [], []
+        for it in chunk:
+            n = it["rot_mat"].shape[0] // W
+            wins.append(it["rot_mat"][: n * W].reshape(n, W, 24, 3, 3))
+            counts.append(n)
+        flat = np.concatenate(wins, axis=0)
+        B = flat.shape[0]
+        B_pad = -(-B // 32) * 32
+        if B_pad > B:  # cycle real windows; padded rows are discarded below
+            flat = np.concatenate([flat, flat[np.arange(B_pad - B) % B]])
+        six = rot.rotmat_to_rot6d(jnp.asarray(flat))
+        rec6d, rec_rm, rec_pose = infer.mean_reconstruction(six)
+        rec6d = np.asarray(rec6d)[:B]
+        rec_rm = np.asarray(rec_rm)[:B]
+        rec_pose = np.asarray(rec_pose)[:B]
+
+        o = 0
+        for it, n in zip(chunk, counts):
+            T_out = n * W
+            seq6 = rec6d[o:o + n].reshape(T_out, 24, 6)
+            seq_rm = rec_rm[o:o + n].reshape(T_out, 24, 3, 3)
+            seq_pose = rec_pose[o:o + n].reshape(T_out, 24, 3)
+            o += n
+            gt_pose = np.asarray(fk_mod.fk_numpy(it["rot_mat"][:T_out]))
+            m = {
+                "mpjpe": float(mpjpe(seq_pose, gt_pose)),
+                "pa_mpjpe": float(pa_mpjpe(seq_pose, gt_pose)),
+                "accel_err": float(accel_error(seq_pose, gt_pose)),
+            }
+            name = it["name"].replace(".npy", "")
+            _save_seq_outputs(name, seq_rm, seq6, seq_pose, args, traj_runner,
+                              output_dir)
+            results.append((name, m))
+            print(name, m, flush=True)
+
+    _write_summary(results, output_dir)
 
 
 def _run_completion_batched(args, apps, eval_ds, n_eval, W, rng,

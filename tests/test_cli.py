@@ -300,3 +300,39 @@ def test_pad_chunk_policy():
     assert _pad_chunk([1, 2], 4, 0) == ([1, 2], 2)
     assert _pad_chunk([1, 2], 4, 1) == ([1, 2, 2, 2], 2)
     assert _pad_chunk([1, 2, 3, 4], 4, 2) == ([1, 2, 3, 4], 4)
+
+
+def test_eval_reconstruction_cli(tmp_path):
+    """--test_model_rec: the reference's intended test-set reconstruction
+    surface (trainer_motion_vae.py:160-161) — posterior-mean encode/decode
+    over every non-overlapping window of the test split, MPJPE / PA-MPJPE /
+    accel metrics, no latent optimization."""
+    import yaml
+
+    data_root = str(tmp_path / "data")
+    cfg = {
+        "model_name": "TwoHierSAVAEModel", "latent_d": 6, "shallow_latent_d": 6,
+        "kernel_size": 3, "train_seq_len": 8, "batch_size": 4,
+        "synthetic": True, "synthetic_num_seqs": 6, "data_root": data_root,
+    }
+    cfg_path = str(tmp_path / "rec.yaml")
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(cfg, f)
+
+    from hm_vae_tpu.cli.eval_recovery import main
+
+    main(["--config", cfg_path, "--output_path", str(tmp_path),
+          "--test_model_rec", "--chunk", "4"])
+    out_dir = tmp_path / "eval_reconstruction" / "rec"
+    with open(out_dir / "summary.json") as f:
+        summary = json.load(f)
+    for k in ("mpjpe", "pa_mpjpe", "accel_err"):
+        assert np.isfinite(summary[k]), k
+    # PA alignment can only reduce the error
+    assert summary["pa_mpjpe"] <= summary["mpjpe"] + 1e-6
+    assert summary["num_seqs"] >= 1
+    rots = [f for f in os.listdir(out_dir) if f.endswith("_rot_opt_res.npy")]
+    assert len(rots) == summary["num_seqs"]
+    # reconstructed sequences are whole-window multiples of train_seq_len
+    arr = np.load(os.path.join(out_dir, rots[0]))
+    assert arr.shape[1:] == (24, 3, 3) and arr.shape[0] % 8 == 0
