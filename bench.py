@@ -158,9 +158,45 @@ def bench_latent_opt(windows: int = 10, opt_it: int = 150,
     return best * 1e3
 
 
+def _probe_backend(timeout_s: float = 300.0) -> str:
+    """Bounded TPU-availability probe in a subprocess.
+
+    The axon relay, when down, makes ``jax.devices()`` block ~25 minutes
+    before raising — inside THIS process that would eat the whole bench run
+    and emit no JSON line at all.  Probe in a child with a hard timeout and
+    fall back to CPU (honestly labelled in the output) so the driver always
+    gets a result line.
+    """
+    import os
+    import subprocess
+
+    if os.environ.get("JAX_PLATFORMS", "") in ("", "cpu"):
+        return os.environ.get("JAX_PLATFORMS") or "default"
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=timeout_s, capture_output=True)
+        if r.returncode == 0:
+            return os.environ["JAX_PLATFORMS"]
+    except subprocess.TimeoutExpired:
+        pass
+    return "cpu"
+
+
 def main(batch_size: int = 8, steps_per_call: int = 32, calls: int = 30,
          warmup: int = 3) -> None:
     import jax
+
+    platform = _probe_backend()
+    cpu_fallback = platform == "cpu"
+    if cpu_fallback:
+        print("WARNING: TPU backend unavailable (bounded probe failed); "
+              "benching on CPU — numbers are NOT the chip's",
+              file=sys.stderr)
+        jax.config.update("jax_platforms", "cpu")
+        # keep the fallback bounded on a 1-core host: tiny measurement
+        # window, and skip the e2e/latent-opt extras entirely
+        steps_per_call, calls, warmup = 8, 2, 1
 
     # persistent compile cache: the big executables (K-step scan, e2e
     # trainer, both solver variants) cost minutes each through the relay on
@@ -213,8 +249,10 @@ def main(batch_size: int = 8, steps_per_call: int = 32, calls: int = 30,
     dt1, _ = _bench(sstep, state1, single_batch, rng, calls * 4, warmup, jax)
     single = batch_size * calls * 4 / dt1
 
+    e2e = e2e_aug = lo_ms = lo_shared_ms = None
     try:
-        e2e = bench_end_to_end()
+        if not cpu_fallback:
+            e2e = bench_end_to_end()
     except Exception:
         e2e = None
     try:
@@ -222,15 +260,19 @@ def main(batch_size: int = 8, steps_per_call: int = 32, calls: int = 30,
         # len 64): same C++ compact wire, random root rotation applied as a
         # jitted per-batch device op.  Shorter window count — the point is
         # the delta vs the plain row, not an independent band.
-        e2e_aug = bench_end_to_end(windows=6, random_root_rot=True)
+        if not cpu_fallback:
+            e2e_aug = bench_end_to_end(windows=6, random_root_rot=True)
     except Exception:
         e2e_aug = None
     try:
-        lo_ms = round(bench_latent_opt(per_window_decoder=True), 1)
+        if not cpu_fallback:
+            lo_ms = round(bench_latent_opt(per_window_decoder=True), 1)
     except Exception:
         lo_ms = None
     try:
-        lo_shared_ms = round(bench_latent_opt(per_window_decoder=False), 1)
+        if not cpu_fallback:
+            lo_shared_ms = round(
+                bench_latent_opt(per_window_decoder=False), 1)
     except Exception:
         lo_shared_ms = None
 
@@ -252,6 +294,8 @@ def main(batch_size: int = 8, steps_per_call: int = 32, calls: int = 30,
             round(e2e_aug["median"], 2) if e2e_aug else None,
         "latent_opt_interp_10win_solve_ms": lo_ms,
         "latent_opt_interp_10win_shared_clone_ms": lo_shared_ms,
+        **({"platform": "cpu_fallback_tpu_unavailable"}
+           if cpu_fallback else {}),
     }))
 
 
