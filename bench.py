@@ -170,17 +170,19 @@ def _probe_backend(timeout_s: float = 300.0) -> str:
     import os
     import subprocess
 
-    if os.environ.get("JAX_PLATFORMS", "") in ("", "cpu"):
-        return os.environ.get("JAX_PLATFORMS") or "default"
+    if os.environ.get("JAX_PLATFORMS", "") == "cpu":
+        return "cpu"  # the user asked for CPU; not a fallback
+    # probe whatever jax would auto-select (the subprocess inherits the env),
+    # so an auto-discovered-but-dead relay plugin is caught too
     try:
         r = subprocess.run(
             [sys.executable, "-c", "import jax; jax.devices()"],
             timeout=timeout_s, capture_output=True)
         if r.returncode == 0:
-            return os.environ["JAX_PLATFORMS"]
+            return os.environ.get("JAX_PLATFORMS", "default")
     except subprocess.TimeoutExpired:
         pass
-    return "cpu"
+    return "fallback"
 
 
 def main(batch_size: int = 8, steps_per_call: int = 32, calls: int = 30,
@@ -188,7 +190,7 @@ def main(batch_size: int = 8, steps_per_call: int = 32, calls: int = 30,
     import jax
 
     platform = _probe_backend()
-    cpu_fallback = platform == "cpu"
+    cpu_fallback = platform == "fallback"
     if cpu_fallback:
         print("WARNING: TPU backend unavailable (bounded probe failed); "
               "benching on CPU — numbers are NOT the chip's",
@@ -198,12 +200,25 @@ def main(batch_size: int = 8, steps_per_call: int = 32, calls: int = 30,
         # window, and skip the e2e/latent-opt extras entirely
         steps_per_call, calls, warmup = 8, 2, 1
 
-    # persistent compile cache: the big executables (K-step scan, e2e
-    # trainer, both solver variants) cost minutes each through the relay on
-    # a cold host; compiled-code caches are keyed by platform+HLO so the
-    # CPU-test cache-poisoning issue (tests/conftest.py) does not apply to
-    # the TPU backend's dir
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_tpu_bench")
+    if platform == "cpu" or cpu_fallback:
+        # CPU executables must NOT share a persistent cache dir across
+        # hosts: stale /tmp caches from a previous machine corrupt CPU
+        # numerics (the tests/conftest.py issue), so key the dir by cpuinfo
+        import hashlib
+
+        try:
+            with open("/proc/cpuinfo", "rb") as f:
+                cpu_key = hashlib.sha1(f.read()).hexdigest()[:12]
+        except OSError:
+            cpu_key = "nocpuinfo"
+        cache_dir = f"/tmp/jax_cache_bench_cpu_{cpu_key}"
+    else:
+        # persistent compile cache: the big executables (K-step scan, e2e
+        # trainer, both solver variants) cost minutes each through the relay
+        # on a cold host; the TPU backend's dir is not exposed to the CPU
+        # cache-poisoning issue because only TPU HLO lands in it
+        cache_dir = "/tmp/jax_cache_tpu_bench"
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from hm_vae_tpu.models.hm_vae import HMVAE
@@ -294,8 +309,8 @@ def main(batch_size: int = 8, steps_per_call: int = 32, calls: int = 30,
             round(e2e_aug["median"], 2) if e2e_aug else None,
         "latent_opt_interp_10win_solve_ms": lo_ms,
         "latent_opt_interp_10win_shared_clone_ms": lo_shared_ms,
-        **({"platform": "cpu_fallback_tpu_unavailable"}
-           if cpu_fallback else {}),
+        **({"platform": "cpu_fallback_tpu_unavailable"} if cpu_fallback
+           else {"platform": "cpu"} if platform == "cpu" else {}),
     }))
 
 

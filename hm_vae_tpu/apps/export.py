@@ -46,13 +46,11 @@ import jax.numpy as jnp
 import numpy as np
 from jax import export as jexport
 
-from ..models.hm_vae import HMVAE, split_stats
+from .inference import make_inference_fns
+from ..models.hm_vae import HMVAE
 from ..models.structure import get_structure
-from ..models.trajectory import TrajectoryModel
-from ..ops import fk as fk_mod
-from ..ops import rotations as rot
+from ..models.trajectory import TrajectoryModel, make_root_v_fn
 from ..utils.config import Config
-from ..data import layout
 
 MANIFEST_NAME = "manifest.json"
 _EXT = ".stablehlo"
@@ -83,36 +81,25 @@ def hmvae_export_functions(model: HMVAE, params, cfg: Config,
                            batch_symbol: str = "b") -> Dict[str, tuple]:
     """Build the (fn, arg_specs) table for the HMVAE serving surface.
 
-    Parameters are closed over, so they become constants in the exported
-    StableHLO module.
+    The functions are the SAME params-closed callables
+    :class:`~hm_vae_tpu.apps.inference.VAEInference` jits for in-process use
+    (``make_inference_fns``) — one source of truth, so a change to the
+    inference pipeline automatically flows into newly-exported artifacts.
+    Closed-over parameters become constants in the StableHLO module.
     """
     T = cfg.model.train_seq_len
     J = cfg.model.n_joints
     st = get_structure(cfg.model)
     (b,) = jexport.symbolic_shape(batch_symbol)
-    offsets = fk_mod.default_offsets()
-
-    def encode_mean(x6d):
-        _, stats = model.apply(params, x6d, method=HMVAE.encode)
-        return tuple(split_stats(s, cfg.model, i)[0]
-                     for i, s in enumerate(stats))
-
-    def decode(z_tuple):
-        out6d = model.apply(params, list(z_tuple), method=HMVAE.decode)
-        out_rotmat = rot.rot6d_to_rotmat(out6d)
-        out_pose = fk_mod.fk_from_rotmat(out_rotmat, offsets)
-        return out6d, out_rotmat, out_pose
-
-    def reconstruct(x6d):
-        return decode(encode_mean(x6d))
+    fns = make_inference_fns(model, params, cfg)
 
     x_spec = _spec((b, T, J, 6))
     z_specs = tuple(_spec((b, st.z_edges[i], st.z_dims[i]))
                     for i in range(cfg.model.num_layers))
     return {
-        "reconstruct": (reconstruct, (x_spec,)),
-        "encode_mean": (encode_mean, (x_spec,)),
-        "decode": (decode, (z_specs,)),
+        "reconstruct": (fns["reconstruct"], (x_spec,)),
+        "encode_mean": (fns["encode_mean"], (x_spec,)),
+        "decode": (fns["decode_full"], (z_specs,)),
     }
 
 
@@ -124,26 +111,14 @@ def trajectory_export_function(model: TrajectoryModel, params,
 
     The encoder is fully convolutional (stride 1 everywhere), so one export
     serves any sequence length >= ``min_time`` (the floor keeps the reflect
-    padding of the kernel-31 convs valid).  Normalisation/de-standardisation
-    use the dataset stats baked in, mirroring ``TrajectoryRunner._predict``.
+    padding of the kernel-31 convs valid).  The function is the SAME
+    params-closed callable ``TrajectoryRunner`` jits in-process
+    (``make_root_v_fn``) — dataset stats baked in.
     """
-    mean = jnp.asarray(mean_std[0])
-    std = jnp.asarray(mean_std[1])
-    c_mean = mean[layout.COORD].reshape(24, 3)
-    c_std = std[layout.COORD].reshape(24, 3)
-    rv_mean = mean[layout.ROOT_V]
-    rv_std = std[layout.ROOT_V]
-
     b, t = jexport.symbolic_shape(
         f"b, {time_symbol}",
         constraints=[f"{time_symbol} >= {min_time}"])
-
-    def predict_root_v(pose):
-        normalized = (pose - c_mean) / c_std
-        root_v_n = model.apply(params, normalized)
-        return rv_mean + rv_std * root_v_n
-
-    return predict_root_v, (_spec((b, t, 24, 3)),)
+    return make_root_v_fn(model, params, mean_std), (_spec((b, t, 24, 3)),)
 
 
 def export_bundle(out_dir: str, model: HMVAE, params, cfg: Config,

@@ -26,6 +26,35 @@ from ..ops import rotations as rot
 from ..utils.config import Config
 
 
+def make_inference_fns(model: HMVAE, params, cfg: Config):
+    """Pure, params-closed inference functions — the single source of truth
+    shared by :class:`VAEInference` (which jits them for in-process use) and
+    :mod:`hm_vae_tpu.apps.export` (which AOT-serializes them for serving), so
+    the exported artifact cannot silently diverge from in-process inference.
+
+    Returns ``{"encode_mean", "decode_full", "reconstruct"}``; z lists are
+    passed/returned as tuples (a stable pytree for jit and export).
+    """
+    offsets = fk_mod.default_offsets()
+
+    def encode_mean(x6d):
+        _, stats = model.apply(params, x6d, method=HMVAE.encode)
+        return tuple(split_stats(s, cfg.model, i)[0]
+                     for i, s in enumerate(stats))
+
+    def decode_full(z_tuple):
+        out6d = model.apply(params, list(z_tuple), method=HMVAE.decode)
+        out_rotmat = rot.rot6d_to_rotmat(out6d)
+        out_pose = fk_mod.fk_from_rotmat(out_rotmat, offsets)
+        return out6d, out_rotmat, out_pose
+
+    def reconstruct(x6d):
+        return decode_full(encode_mean(x6d))
+
+    return {"encode_mean": encode_mean, "decode_full": decode_full,
+            "reconstruct": reconstruct}
+
+
 class VAEInference:
     """Bound (model, params) inference helper."""
 
@@ -33,27 +62,23 @@ class VAEInference:
         self.model = model
         self.params = params
         self.cfg = cfg
-        self._encode = jax.jit(
-            lambda p, x: model.apply(p, x, method=HMVAE.encode))
-        self._decode = jax.jit(
-            lambda p, z: model.apply(p, z, method=HMVAE.decode))
+        fns = make_inference_fns(model, params, cfg)
+        self._encode_mean = jax.jit(fns["encode_mean"])
+        self._decode_full = jax.jit(fns["decode_full"])
+        self._reconstruct = jax.jit(fns["reconstruct"])
 
     # ------------------------------------------------------------------
     def mean_z(self, rot6d: jnp.ndarray):
         """(B, T, 24, 6) -> mean z list (posterior means, no sampling)."""
-        _, stats = self._encode(self.params, rot6d)
-        return [split_stats(s, self.cfg.model, i)[0]
-                for i, s in enumerate(stats)]
+        return list(self._encode_mean(rot6d))
 
     def mean_reconstruction(self, rot6d: jnp.ndarray):
-        """Posterior-mean reconstruction: 6D in -> (6d, rotmat, pose) out."""
-        return self.decode_full(self.mean_z(rot6d))
+        """Posterior-mean reconstruction: 6D in -> (6d, rotmat, pose) out
+        (one fused dispatch)."""
+        return self._reconstruct(rot6d)
 
     def decode_full(self, z_list):
-        out6d = self._decode(self.params, z_list)
-        out_rotmat = rot.rot6d_to_rotmat(out6d)
-        out_pose = fk_mod.fk_from_rotmat(out_rotmat, fk_mod.default_offsets())
-        return out6d, out_rotmat, out_pose
+        return self._decode_full(tuple(z_list))
 
     def prior_samples(self, key, batch: int):
         """Decode z ~ N(0, I) (deep+shallow; zero middles)."""

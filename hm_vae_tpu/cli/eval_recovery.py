@@ -147,20 +147,6 @@ def main(argv=None):
                 "--trajectory_config/--trajectory_test_model (the reference "
                 "loads a TrajectoryModel for this task, "
                 "eval_partial_motion_recovery.py:96-133)")
-    if task == "interpolation_sw":
-        # the single-window interpolation runs the keyframe trajectory loss
-        # inside the solver (eval_partial_motion_recovery.py:96-103)
-        import dataclasses
-
-        cfg_sw = dataclasses.replace(
-            cfg, latent_opt=dataclasses.replace(
-                cfg.latent_opt, optimize_trajectory=True,
-                reg_w_trajectory=cfg.latent_opt.reg_w_trajectory or 1.0))
-        apps = LatentOptApps(trainer.model, trainer.state.params, cfg_sw,
-                             trajectory=traj_tuple)
-    else:
-        apps = LatentOptApps(trainer.model, trainer.state.params, cfg)
-
     # evaluation data: full test sequences (random per-frame joint masks for
     # the single-window completion task, utils_motion_vae.py:247, 276-277)
     mprob = args.missing_joint_prob
@@ -183,12 +169,28 @@ def main(argv=None):
                                                         len(eval_ds))
 
     if task == "reconstruction":
+        # no latent optimization involved — don't build the solver at all
         from ..apps.inference import VAEInference
 
         infer = VAEInference(trainer.model, trainer.state.params, cfg)
         _run_reconstruction(args, infer, eval_ds, n_eval, W, traj_runner,
                             output_dir)
         return
+
+    if task == "interpolation_sw":
+        # the single-window interpolation runs the keyframe trajectory loss
+        # inside the solver (eval_partial_motion_recovery.py:96-103)
+        import dataclasses
+
+        cfg_sw = dataclasses.replace(
+            cfg, latent_opt=dataclasses.replace(
+                cfg.latent_opt, optimize_trajectory=True,
+                reg_w_trajectory=cfg.latent_opt.reg_w_trajectory or 1.0))
+        apps = LatentOptApps(trainer.model, trainer.state.params, cfg_sw,
+                             trajectory=traj_tuple)
+    else:
+        apps = LatentOptApps(trainer.model, trainer.state.params, cfg)
+
     if task in ("completion_sw", "interpolation_sw"):
         _run_single_window(args, task, apps, eval_ds, n_eval, W, rng,
                            traj_runner, output_dir)
@@ -316,8 +318,11 @@ def _run_reconstruction(args, infer, eval_ds, n_eval, W, traj_runner,
     intended ``test_model_rec`` surface (``trainer_motion_vae.py:160-161``),
     implemented as ONE batched encode/decode per chunk: every sequence is cut
     into non-overlapping ``train_seq_len`` windows, all windows of a chunk
-    flatten into a single batch (padded by cycling to a x32 shape so the jit
-    compiles once), and metrics are MPJPE / PA-MPJPE / accel error vs GT FK.
+    flatten and run through fixed-size batches of 128 (the tail batch padded
+    by cycling) so encode/decode jit-compile ONCE for the whole split —
+    variable per-chunk batch shapes would recompile per chunk, minutes each
+    through the TPU relay.  Metrics are MPJPE / PA-MPJPE / accel error vs
+    GT FK.
     No latent optimization is involved, so this is the cheapest quality row:
     it isolates pure VAE reconstruction from solver effects."""
     import jax.numpy as jnp
@@ -335,14 +340,22 @@ def _run_reconstruction(args, infer, eval_ds, n_eval, W, traj_runner,
             counts.append(n)
         flat = np.concatenate(wins, axis=0)
         B = flat.shape[0]
-        B_pad = -(-B // 32) * 32
-        if B_pad > B:  # cycle real windows; padded rows are discarded below
-            flat = np.concatenate([flat, flat[np.arange(B_pad - B) % B]])
-        six = rot.rotmat_to_rot6d(jnp.asarray(flat))
-        rec6d, rec_rm, rec_pose = infer.mean_reconstruction(six)
-        rec6d = np.asarray(rec6d)[:B]
-        rec_rm = np.asarray(rec_rm)[:B]
-        rec_pose = np.asarray(rec_pose)[:B]
+        REC_BS = 128  # one static jit shape for the whole split
+        parts6, parts_rm, parts_pose = [], [], []
+        for s in range(0, B, REC_BS):
+            part = flat[s:s + REC_BS]
+            nb = part.shape[0]
+            if nb < REC_BS:  # cycle real windows; padded rows discarded below
+                part = np.concatenate(
+                    [part, part[np.arange(REC_BS - nb) % nb]])
+            six = rot.rotmat_to_rot6d(jnp.asarray(part))
+            r6, rm, rp = infer.mean_reconstruction(six)
+            parts6.append(np.asarray(r6)[:nb])
+            parts_rm.append(np.asarray(rm)[:nb])
+            parts_pose.append(np.asarray(rp)[:nb])
+        rec6d = np.concatenate(parts6, axis=0)
+        rec_rm = np.concatenate(parts_rm, axis=0)
+        rec_pose = np.concatenate(parts_pose, axis=0)
 
         o = 0
         for it, n in zip(chunk, counts):

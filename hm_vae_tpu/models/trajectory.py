@@ -87,6 +87,30 @@ def add_trajectory(pose: jnp.ndarray, root_v: jnp.ndarray) -> jnp.ndarray:
     return pose + accumulate_root_trajectory(root_v)[:, :, None, :]
 
 
+def make_root_v_fn(model: TrajectoryModel, params, mean_std: np.ndarray):
+    """Pure, params-closed root-velocity predictor — shared by
+    :class:`TrajectoryRunner` (jitted in-process) and
+    :mod:`hm_vae_tpu.apps.export` (AOT-serialized for serving).
+
+    pose (B, T, 24, 3) unnormalised FK positions -> root_v (B, T, 3) in
+    *unnormalised* units: normalise with the dataset stats' joint-pos slice,
+    run the encoder, de-standardise (``trajectory_pred_model.py:399-440``).
+    """
+    mean = jnp.asarray(mean_std[0])
+    std = jnp.asarray(mean_std[1])
+    c_mean = mean[layout.COORD].reshape(24, 3)
+    c_std = std[layout.COORD].reshape(24, 3)
+    rv_mean = mean[layout.ROOT_V]
+    rv_std = std[layout.ROOT_V]
+
+    def predict_root_v(pose: jnp.ndarray) -> jnp.ndarray:
+        normalized = (pose - c_mean) / c_std
+        root_v_n = model.apply(params, normalized)
+        return rv_mean + rv_std * root_v_n
+
+    return predict_root_v
+
+
 class TrajectoryRunner:
     """Inference wrapper: 6D/positions in -> world-space pose sequence out.
 
@@ -100,19 +124,8 @@ class TrajectoryRunner:
         self.params = params
         self.mean = jnp.asarray(mean_std[0])
         self.std = jnp.asarray(mean_std[1])
+        self._predict = make_root_v_fn(model, params, mean_std)
         self._jit_pred = jax.jit(self._predict)
-
-    def _predict(self, pose: jnp.ndarray) -> jnp.ndarray:
-        """pose: (B, T, 24, 3) unnormalised FK positions -> root_v (B,T,3)
-        in *unnormalised* units."""
-        B, T = pose.shape[:2]
-        mean = self.mean[layout.COORD].reshape(24, 3)
-        std = self.std[layout.COORD].reshape(24, 3)
-        normalized = (pose - mean) / std
-        root_v_n = self.model.apply(self.params, normalized)
-        mean_rv = self.mean[layout.ROOT_V]
-        std_rv = self.std[layout.ROOT_V]
-        return mean_rv + std_rv * root_v_n
 
     def __call__(self, data: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """data: (B, T, 24, 6) rot6d or (B, T, 24, 3) positions.
