@@ -121,18 +121,47 @@ def trajectory_export_function(model: TrajectoryModel, params,
     return make_root_v_fn(model, params, mean_std), (_spec((b, t, 24, 3)),)
 
 
+def _cast_floating(tree, dtype):
+    """Cast every floating leaf of a pytree (non-float leaves untouched)."""
+    def c(x):
+        x = jnp.asarray(x)
+        return x.astype(dtype) if jnp.issubdtype(x.dtype, jnp.floating) else x
+
+    return jax.tree.map(c, tree)
+
+
 def export_bundle(out_dir: str, model: HMVAE, params, cfg: Config,
                   trajectory: Optional[tuple] = None,
-                  platforms=DEFAULT_PLATFORMS) -> Dict:
+                  platforms=DEFAULT_PLATFORMS,
+                  serve_dtype: str = "float32") -> Dict:
     """Export the serving surface to ``out_dir``; returns the manifest dict.
 
     ``trajectory``: optional ``(traj_model, traj_params, mean_std)`` to add
     the root-trajectory predictor to the bundle.
+
+    ``serve_dtype="bfloat16"``: a serving-optimised bundle — parameters are
+    baked in as bf16 constants (half the artifact size and half the weight
+    HBM traffic on chip, which bounds small-batch serving latency) and the
+    conv stack computes in bf16 (``ModelConfig.compute_dtype`` semantics);
+    inputs/outputs and the FK/rotation chain stay f32.  Expect ~1e-2
+    relative output deviation vs the f32 bundle (bf16 has 8 mantissa bits).
     """
     os.makedirs(out_dir, exist_ok=True)
+    if serve_dtype not in ("float32", "bfloat16"):
+        raise ValueError(f"unsupported serve_dtype: {serve_dtype}")
+    if serve_dtype == "bfloat16":
+        params = _cast_floating(params, jnp.bfloat16)
+        cfg = dataclasses.replace(
+            cfg, model=dataclasses.replace(cfg.model,
+                                           compute_dtype="bfloat16"))
+        model = HMVAE(cfg.model)  # rebind: compute_dtype lives on the module
     table = hmvae_export_functions(model, params, cfg)
     if trajectory is not None:
         t_model, t_params, mean_std = trajectory
+        if serve_dtype == "bfloat16":
+            t_params = _cast_floating(t_params, jnp.bfloat16)
+            t_model = TrajectoryModel(dataclasses.replace(
+                t_model.cfg, compute_dtype="bfloat16"))
         table["trajectory"] = trajectory_export_function(
             t_model, t_params, mean_std)
 
@@ -140,6 +169,7 @@ def export_bundle(out_dir: str, model: HMVAE, params, cfg: Config,
         "format": "jax.export/stablehlo",
         "jax_version": jax.__version__,
         "platforms": list(platforms),
+        "serve_dtype": serve_dtype,
         "functions": {},
         "config": dataclasses.asdict(cfg.model),
         "train_seq_len": cfg.model.train_seq_len,

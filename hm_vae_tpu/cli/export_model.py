@@ -40,6 +40,11 @@ def main(argv=None):
                         "(default: the vendored AMASS stats)")
     p.add_argument("--platforms", type=str, default="cpu,tpu",
                    help="comma-separated lowering targets")
+    p.add_argument("--serve_dtype", type=str, default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="bfloat16 = serving-optimised bundle: bf16 weight "
+                        "constants (half the artifact + weight HBM traffic) "
+                        "and bf16 conv compute; ~1e-2 output deviation")
     args = p.parse_args(argv)
 
     import tempfile
@@ -66,11 +71,13 @@ def main(argv=None):
 
     platforms = tuple(s.strip() for s in args.platforms.split(",") if s.strip())
     manifest = export_bundle(args.out, trainer.model, trainer.state.params,
-                             cfg, trajectory=trajectory, platforms=platforms)
+                             cfg, trajectory=trajectory, platforms=platforms,
+                             serve_dtype=args.serve_dtype)
     print(json.dumps({
         "out": args.out,
         "functions": {k: v["bytes"] for k, v in manifest["functions"].items()},
         "platforms": manifest["platforms"],
+        "serve_dtype": manifest["serve_dtype"],
     }))
 
 

@@ -181,3 +181,28 @@ def test_export_cli_end_to_end(tmp_path):
     assert set(fns) == {"reconstruct", "encode_mean", "decode", "trajectory"}
     got6d, _, _ = fns["reconstruct"].call(jnp.zeros((2, 8, 24, 6)))
     assert got6d.shape == (2, 8, 24, 6)
+
+
+def test_bf16_serving_bundle_smaller_and_close(tmp_path):
+    model, params = _vae()
+    d32 = str(tmp_path / "f32")
+    d16 = str(tmp_path / "bf16")
+    m32 = export_bundle(d32, model, params, CFG, platforms=("cpu",))
+    m16 = export_bundle(d16, model, params, CFG, platforms=("cpu",),
+                        serve_dtype="bfloat16")
+    assert m16["serve_dtype"] == "bfloat16"
+    # bf16 weight constants shrink the artifact (params dominate its size)
+    assert (m16["functions"]["reconstruct"]["bytes"]
+            < 0.8 * m32["functions"]["reconstruct"]["bytes"])
+
+    f32 = load_exported(d32)
+    f16 = load_exported(d16)
+    x = _rand6d(jax.random.PRNGKey(11), 2, 8)
+    a6, _, ap = f32["reconstruct"].call(x)
+    b6, _, bp = f16["reconstruct"].call(x)
+    # bf16 has 8 mantissa bits: expect ~1e-2 relative deviation, not equality
+    np.testing.assert_allclose(np.asarray(b6), np.asarray(a6),
+                               atol=0.05, rtol=0.05)
+    np.testing.assert_allclose(np.asarray(bp), np.asarray(ap),
+                               atol=0.05, rtol=0.05)
+    assert np.asarray(b6).dtype == np.float32  # outputs stay f32
