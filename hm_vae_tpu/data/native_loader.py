@@ -1,8 +1,16 @@
-"""ctypes bindings for the native C++ batch sampler (native/loader.cpp).
+"""ctypes bindings for the native C++ batch sampler (hm_vae_tpu/native/loader.cpp).
 
-Builds the shared library on first use (g++ -O3, cached under ``native/build``)
-and falls back to the numpy :class:`~hm_vae_tpu.data.dataset.MotionDataset`
-sampler if the toolchain is unavailable — identical batch contract either way.
+Builds the shared library on first use (g++ -O3) and falls back to the numpy
+:class:`~hm_vae_tpu.data.dataset.MotionDataset` sampler if the toolchain is
+unavailable — identical batch contract either way.
+
+The build artifact lives in a per-CPU-model cache directory (override with
+``HM_VAE_TPU_NATIVE_BUILD_DIR``), NOT next to the source: the source tree may
+be a read-only site-packages install, and a ``-march=native`` binary carried
+across a host migration can die with SIGILL — keying the cache by
+/proc/cpuinfo invalidates it exactly when the microarchitecture changes (the
+same pathology as the JAX CPU compile-cache poisoning handled in
+tests/conftest.py).
 """
 
 from __future__ import annotations
@@ -21,24 +29,38 @@ from . import layout
 log = logging.getLogger(__name__)
 
 _NATIVE_DIR = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
-    "native",
-)
-_LIB_PATH = os.path.join(_NATIVE_DIR, "build", "libmotion_loader.so")
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "native")
 
 _lib = None
+
+
+def _build_dir() -> str:
+    env = os.environ.get("HM_VAE_TPU_NATIVE_BUILD_DIR")
+    if env:
+        return env
+    try:
+        with open("/proc/cpuinfo", "rb") as f:
+            import hashlib
+
+            cpu_key = hashlib.sha1(f.read()).hexdigest()[:12]
+    except OSError:
+        cpu_key = "nocpuinfo"
+    base = os.environ.get("XDG_CACHE_HOME",
+                          os.path.join(os.path.expanduser("~"), ".cache"))
+    return os.path.join(base, "hm_vae_tpu", f"native_{cpu_key}")
 
 
 def _build_library() -> Optional[str]:
     src = os.path.join(_NATIVE_DIR, "loader.cpp")
     if not os.path.exists(src):
         return None
-    os.makedirs(os.path.dirname(_LIB_PATH), exist_ok=True)
-    if (os.path.exists(_LIB_PATH)
-            and os.path.getmtime(_LIB_PATH) >= os.path.getmtime(src)):
-        return _LIB_PATH
+    lib_path = os.path.join(_build_dir(), "libmotion_loader.so")
+    os.makedirs(os.path.dirname(lib_path), exist_ok=True)
+    if (os.path.exists(lib_path)
+            and os.path.getmtime(lib_path) >= os.path.getmtime(src)):
+        return lib_path
     cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-o",
-           _LIB_PATH, src, "-lpthread"]
+           lib_path, src, "-lpthread"]
     try:
         subprocess.run(cmd, check=True, capture_output=True)
     except subprocess.CalledProcessError as e:
@@ -51,7 +73,7 @@ def _build_library() -> Optional[str]:
     except Exception as e:
         log.warning("native loader C++ build failed: %r", e)
         return None
-    return _LIB_PATH
+    return lib_path
 
 
 def get_library():

@@ -123,7 +123,7 @@ def aa_to_rotmat(aa: jnp.ndarray, eps: float = 1e-8) -> jnp.ndarray:
 def rotmat_to_aa(rotmat: jnp.ndarray, eps: float = 1e-12) -> jnp.ndarray:
     """Rotation matrix (..., 3, 3) -> axis-angle (..., 3), robust SO(3) log.
 
-    Mirrors the C++ loader's sidecar log map (``native/loader.cpp``):
+    Mirrors the C++ loader's sidecar log map (``hm_vae_tpu/native/loader.cpp``):
     ``theta = atan2(|skew|, trace-1)`` is well-conditioned over all of
     [0, pi] — the plain ``acos((tr-1)/2)`` form loses ~1e-2 of |aa| near
     ``theta = pi`` where its derivative blows up as ``1/sin`` — and near pi

@@ -36,8 +36,11 @@ SMPL24_PARENTS: Tuple[int, ...] = (
     20, 21,
 )
 
-ASSETS_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
-    os.path.abspath(__file__)))), "assets")
+# Vendored inside the package so a pip-installed wheel ships them (the
+# reference keeps these under utils/data/ and loads some via hard-coded
+# absolute paths — fk_layer.py:18-19 — which the rebuild must not reproduce).
+ASSETS_DIR = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "assets")
 
 
 def load_parents(parents_json: str | None = None) -> Tuple[int, ...]:

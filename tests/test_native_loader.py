@@ -242,8 +242,7 @@ def test_build_failure_warns_with_compiler_error(tmp_path, monkeypatch, caplog):
 
     monkeypatch.setattr(nl_mod.subprocess, "run", fail)
     # point the cache at an empty dir so the existing .so doesn't satisfy it
-    monkeypatch.setattr(nl_mod, "_LIB_PATH",
-                        str(tmp_path / "build" / "lib.so"))
+    monkeypatch.setenv("HM_VAE_TPU_NATIVE_BUILD_DIR", str(tmp_path / "build"))
     with caplog.at_level(logging.WARNING,
                          logger="hm_vae_tpu.data.native_loader"):
         assert nl_mod._build_library() is None
