@@ -6,4 +6,4 @@ JAX framework: skeleton-aware ops, hierarchical sequence VAE, trajectory
 model, latent-optimization applications, data pipeline, SPMD training.
 """
 
-__version__ = "0.1.0"
+__version__ = "0.3.0"

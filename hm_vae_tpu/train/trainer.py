@@ -426,6 +426,7 @@ class Trainer:
         # overlaps device compute instead of serialising after it).  This
         # hides the measured ~9 ms/14 MB relay transfer (BASELINE.md).
         pending = None
+        nan_restored_from = -1
         try:
             i = start
             while i < max_iter:
@@ -484,6 +485,15 @@ class Trainer:
                             raise FloatingPointError(
                                 f"non-finite loss at step {i} and no "
                                 "checkpoint to restore")
+                        if restored == nan_restored_from:
+                            # the latest checkpoint ITSELF produces NaNs
+                            # (saved after the corruption): a second restore
+                            # to the same step would loop forever — fail loud
+                            raise FloatingPointError(
+                                f"non-finite loss recurred after restoring "
+                                f"to step {restored} — checkpoint is "
+                                "corrupt; restore an earlier one manually")
+                        nan_restored_from = restored
                         i = restored
                         continue
                     self.writer.write(i, host)
@@ -500,9 +510,10 @@ class Trainer:
                         vm = self._eval_fn(self.state, vb,
                                            jax.random.fold_in(rng, 10_000_000 + vi))
                         vals.append({k: float(v) for k, v in vm.items()})
-                    avg = {f"val_{k}": float(np.mean([v[k] for v in vals]))
-                           for k in vals[0]}
-                    self.writer.write(i, avg)
+                    if vals:  # val split smaller than one batch yields none
+                        avg = {f"val_{k}": float(np.mean([v[k] for v in vals]))
+                               for k in vals[0]}
+                        self.writer.write(i, avg)
 
                 if crossed(cfg.run.snapshot_save_iter):
                     self.save(i)

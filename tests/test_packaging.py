@@ -68,6 +68,12 @@ def test_package_data_globs_cover_the_data_files():
     assert on_disk <= covered, f"data files missing from package-data: {sorted(on_disk - covered)}"
 
 
+def test_version_matches_pyproject():
+    import hm_vae_tpu
+
+    assert hm_vae_tpu.__version__ == _pyproject()["project"]["version"]
+
+
 def test_console_scripts_are_importable_callables():
     import importlib
 

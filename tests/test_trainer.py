@@ -143,6 +143,28 @@ def test_nan_guard_restores_from_checkpoint(tmp_path):
     assert np.isfinite(leaf).all()
 
 
+def test_nan_guard_raises_when_checkpoint_itself_is_corrupt(tmp_path):
+    """If the LATEST checkpoint already contains the NaNs, restoring it
+    can't help — the guard must fail loud instead of restore-looping."""
+    import dataclasses
+    import jax
+    import jax.numpy as jnp
+    import pytest
+    tmp = str(tmp_path)
+    cfg = tiny_cfg(tmp, max_iter=6)
+    cfg = dataclasses.replace(cfg, run=dataclasses.replace(
+        cfg.run, snapshot_save_iter=2, log_iter=1, steps_per_call=1))
+    trainer, train_ds, _, _ = build_trainer(cfg, os.path.join(tmp, "runNan2"))
+    trainer.fit(train_ds, None, max_iter=3)
+    # poison params AND save them: the newest checkpoint is now corrupt
+    trainer.state = trainer.state.replace(
+        params=jax.tree.map(lambda x: x * jnp.nan, trainer.state.params))
+    trainer.save(3)
+    trainer.wait_for_saves()
+    with pytest.raises(FloatingPointError, match="recurred"):
+        trainer.fit(train_ds, None, max_iter=6)
+
+
 def test_float16_transfer_mode(tmp_path):
     """transfer_dtype=float16 trains with near-identical losses to f32."""
     import dataclasses
