@@ -50,6 +50,28 @@ def trajectory_fde(pred_trans: jnp.ndarray, gt_trans: jnp.ndarray) -> jnp.ndarra
         jnp.linalg.norm(pred_trans[..., -1, :] - gt_trans[..., -1, :], axis=-1))
 
 
+def vertex_error(pred_verts: jnp.ndarray, gt_verts: jnp.ndarray) -> jnp.ndarray:
+    """Mean per-vertex position error over (..., V, 3) mesh vertices.
+
+    The mesh-space analogue of :func:`mpjpe` — VIBE's ``compute_error_verts``
+    (imported-but-stubbed at ``trajectory_pred_model.py:12-17``).
+    """
+    return jnp.mean(jnp.linalg.norm(pred_verts - gt_verts, axis=-1))
+
+
+def vertex_error_from_rotmats(smpl_model, pred_rotmat, gt_rotmat,
+                              pred_transl=None, gt_transl=None) -> float:
+    """Pose an SMPL body with both rotation sets and compare meshes.
+
+    ``smpl_model``: a :class:`~hm_vae_tpu.utils.smpl.SMPLBodyModel` (the
+    user supplies the licensed model file).  rotmats: (T, 24, 3, 3).
+    Host-side convenience for eval scripts; returns a python float.
+    """
+    pred_v = smpl_model.forward(pred_rotmat, transl=pred_transl)
+    gt_v = smpl_model.forward(gt_rotmat, transl=gt_transl)
+    return float(vertex_error(jnp.asarray(pred_v), jnp.asarray(gt_v)))
+
+
 def accel(joints: jnp.ndarray) -> jnp.ndarray:
     """Mean acceleration magnitude of (T, J, 3) joints (VIBE compute_accel)."""
     a = joints[2:] - 2 * joints[1:-1] + joints[:-2]

@@ -108,3 +108,21 @@ def test_save_mesh_obj_entrypoint(tmp_path, monkeypatch):
     rots = np.broadcast_to(np.eye(3), (1, J, 3, 3))
     out = save_mesh_obj(str(tmp_path / "m"), rots, np.zeros((1, 3)))
     assert os.path.exists(os.path.join(out, "00000.obj"))
+
+
+def test_vertex_error_metric(tmp_path):
+    """compute_error_verts analogue: zero for identical poses, |t| for a
+    pure root translation, positive for a real pose difference."""
+    from hm_vae_tpu.apps.metrics import vertex_error_from_rotmats
+
+    model = SMPLBodyModel(_tiny_model(tmp_path, with_posedirs=False))
+    eye = np.broadcast_to(np.eye(3), (3, J, 3, 3))
+    assert vertex_error_from_rotmats(model, eye, eye) == pytest.approx(0.0)
+    tr = np.tile(np.asarray([[0.3, 0.0, 0.4]]), (3, 1))
+    assert vertex_error_from_rotmats(
+        model, eye, eye, pred_transl=tr) == pytest.approx(0.5, abs=1e-5)
+    from scipy.spatial.transform import Rotation as R
+
+    posed = eye.copy()
+    posed[:, 5] = R.from_rotvec([0.4, 0.2, 0.1]).as_matrix()
+    assert vertex_error_from_rotmats(model, posed, eye) > 0.0
