@@ -309,7 +309,11 @@ def main(batch_size: int = 8, steps_per_call: int = 32, calls: int = 30,
             round(e2e_aug["median"], 2) if e2e_aug else None,
         "latent_opt_interp_10win_solve_ms": lo_ms,
         "latent_opt_interp_10win_shared_clone_ms": lo_shared_ms,
-        **({"platform": "cpu_fallback_tpu_unavailable"} if cpu_fallback
+        **({"platform": "cpu_fallback_tpu_unavailable",
+            "note": "axon relay outage at bench time - value is a 1-core "
+                    "host CPU run, NOT the chip; the chip's figure of "
+                    "record is in BENCH_r02.json / BASELINE.md "
+                    "(~9.8-10k seqs/s)"} if cpu_fallback
            else {"platform": "cpu"} if platform == "cpu" else {}),
     }))
 
