@@ -355,3 +355,17 @@ def test_load_params_across_optimizer_formats(tmp_path):
     b = jax.tree.leaves(trainer2.state.params)
     for x, y in zip(a, b):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_fit_survives_empty_validation_split(tmp_path):
+    """A val dataset yielding zero batches must not crash the val cadence."""
+    tmp = str(tmp_path)
+    cfg = tiny_cfg(tmp, max_iter=4)
+    trainer, train_ds, _, _ = build_trainer(cfg, os.path.join(tmp, "runEV"))
+
+    class EmptyVal:
+        def ordered_batches(self, *a, **k):
+            return iter(())
+
+    m = trainer.fit(train_ds, EmptyVal(), max_iter=4)
+    assert np.isfinite(m["loss_total"])
