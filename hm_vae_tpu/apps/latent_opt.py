@@ -56,6 +56,20 @@ from ..ops import rotations as rot
 from ..utils.config import Config, LatentOptConfig
 
 
+def _scope_keys(dec_tree, scope: str):
+    """Top-level decoder keys the fine-tune phase optimizes (the rest stay
+    frozen at the trained weights and SHARED across windows)."""
+    if scope == "full":
+        return list(dec_tree)
+    if scope == "heads":
+        return [k for k in dec_tree if k.startswith("latent_dec")]
+    if scope == "last_conv":
+        convs = sorted((k for k in dec_tree if k.startswith("conv_")),
+                       key=lambda k: int(k.split("_")[-1]))
+        return convs[-1:]
+    raise ValueError(f"unknown latent_opt.finetune_scope: {scope!r}")
+
+
 def _tree_where(cond, a, b):
     return jax.tree.map(lambda x, y: jnp.where(cond, x, y), a, b)
 
@@ -173,32 +187,45 @@ def make_latent_optimizer(model: HMVAE, cfg: Config,
         return (lcfg.rec_6d_w * l6 + lcfg.rec_rot_w * lr
                 + lcfg.rec_pose_w * lp)
 
-    def total_loss(z_list, dec_params, orig_dec, targets, mask, z_reg_target):
-        out = decode(dec_params, z_list)
-        l_rec = masked_loss(out, targets, mask)
-        # z regulariser on shallow (0) + deep (last) only
-        # (seq_two_hier_sa_vae.py:1711-1712)
-        l_reg = (jnp.mean((z_list[0] - z_reg_target[0]) ** 2)
-                 + jnp.mean((z_list[-1] - z_reg_target[-1]) ** 2))
-        # decoder pull-back: per-tensor mean L2 summed over tensors
-        # (seq_two_hier_sa_vae.py:1714-1717)
-        if lat.optimize_decoder:
-            diffs = jax.tree.map(lambda a, b: jnp.mean((a - b) ** 2),
-                                 dec_params, orig_dec)
-            l_reg_dec = sum(jax.tree.leaves(diffs))
-        else:
-            l_reg_dec = jnp.zeros(())
-        total = (l_rec + lat.reg_w * l_reg + lat.reg_w_decoder * l_reg_dec)
-        if use_traj:
-            total = total + lat.reg_w_trajectory * traj_loss(
-                out[2], targets["root_trans"])
-        return total, out
+    def make_total_loss(wrap, orig_train):
+        def total_loss(z_list, dec_train, targets, mask, z_reg_target):
+            out = decode(wrap(dec_train), z_list)
+            l_rec = masked_loss(out, targets, mask)
+            # z regulariser on shallow (0) + deep (last) only
+            # (seq_two_hier_sa_vae.py:1711-1712)
+            l_reg = (jnp.mean((z_list[0] - z_reg_target[0]) ** 2)
+                     + jnp.mean((z_list[-1] - z_reg_target[-1]) ** 2))
+            # decoder pull-back: per-tensor mean L2 summed over tensors
+            # (seq_two_hier_sa_vae.py:1714-1717); only the trainable subtree
+            # contributes — frozen tensors never move, their term is zero
+            if lat.optimize_decoder:
+                diffs = jax.tree.map(lambda a, b: jnp.mean((a - b) ** 2),
+                                     dec_train, orig_train)
+                l_reg_dec = sum(jax.tree.leaves(diffs))
+            else:
+                l_reg_dec = jnp.zeros(())
+            total = (l_rec + lat.reg_w * l_reg + lat.reg_w_decoder * l_reg_dec)
+            if use_traj:
+                total = total + lat.reg_w_trajectory * traj_loss(
+                    out[2], targets["root_trans"])
+            return total, out
+
+        return total_loss
 
     def solve(params, targets, mask, z_init, z_reg_target) -> LatentOptResult:
         # only the decoder subtree is cloned and (optionally) fine-tuned —
-        # copy.deepcopy(self.dec) in the reference (:1685-1687)
-        dec_sub = {"params": {"decoder": params["params"]["decoder"]}}
-        orig_dec = dec_sub
+        # copy.deepcopy(self.dec) in the reference (:1685-1687) — and within
+        # it only the `finetune_scope` subtree is trainable; the frozen rest
+        # stays a closure constant shared by every window
+        dec_all = params["params"]["decoder"]
+        train_keys = _scope_keys(dec_all, lat.finetune_scope)
+        train0 = {k: dec_all[k] for k in train_keys}
+        frozen = {k: v for k, v in dec_all.items() if k not in train_keys}
+
+        def wrap(dec_train):
+            return {"params": {"decoder": dict(frozen, **dec_train)}}
+
+        total_loss = make_total_loss(wrap, train0)
         z0 = z_init
         B = mask.shape[0]
         # per_window_decoder=True: the solve is vmapped per window — every
@@ -215,27 +242,27 @@ def make_latent_optimizer(model: HMVAE, cfg: Config,
         # shared across sequences, BASELINE.md).
         per_win = lat.per_window_decoder
 
-        def total_loss_s(z1, dec_p1, tgt1, m1, zr1):
+        def total_loss_s(z1, dec_t1, tgt1, m1, zr1):
             zb = jax.tree.map(lambda x: x[None], z1)
             tb = jax.tree.map(lambda x: x[None], tgt1)
             zrb = jax.tree.map(lambda x: x[None], zr1)
-            loss, out = total_loss(zb, dec_p1, orig_dec, tb, m1[None], zrb)
+            loss, out = total_loss(zb, dec_t1, tb, m1[None], zrb)
             return loss, jax.tree.map(lambda x: x[0], out)
 
-        def z_step(z, z_opt, dec_p):
+        def z_step(z, z_opt, dec_t):
             # z_tx's LR schedule counts only z steps — the optax state's own
             # count drives it (matching the separate torch Adam/StepLR pair,
             # seq_two_hier_sa_vae.py:1162-1166)
             (loss, out), gz = jax.value_and_grad(
                 total_loss, argnums=0, has_aux=True
-            )(z, dec_p, orig_dec, targets, mask, z_reg_target)
+            )(z, dec_t, targets, mask, z_reg_target)
             z_upd, z_opt = z_tx.update(gz, z_opt, z)
             return optax.apply_updates(z, z_upd), z_opt, loss, out
 
-        def z_step_single(z1, z_opt1, dec_p, tgt1, m1, zr1):
+        def z_step_single(z1, z_opt1, dec_t, tgt1, m1, zr1):
             (loss, out), gz = jax.value_and_grad(
                 total_loss_s, argnums=0, has_aux=True
-            )(z1, dec_p, tgt1, m1, zr1)
+            )(z1, dec_t, tgt1, m1, zr1)
             z_upd, z_opt1 = z_tx.update(gz, z_opt1, z1)
             return optax.apply_updates(z1, z_upd), z_opt1, loss, out
 
@@ -244,19 +271,19 @@ def make_latent_optimizer(model: HMVAE, cfg: Config,
         # per-window z costs nothing extra over the batched formulation
         z_step_b = jax.vmap(z_step_single, in_axes=(0, 0, None, 0, 0, 0))
 
-        def dec_step(z, dec_p, dec_opt):
+        def dec_step(z, dec_t, dec_opt):
             (loss, out), gd = jax.value_and_grad(
                 total_loss, argnums=1, has_aux=True
-            )(z, dec_p, orig_dec, targets, mask, z_reg_target)
-            d_upd, dec_opt = dec_tx.update(gd, dec_opt, dec_p)
-            return optax.apply_updates(dec_p, d_upd), dec_opt, loss, out
+            )(z, dec_t, targets, mask, z_reg_target)
+            d_upd, dec_opt = dec_tx.update(gd, dec_opt, dec_t)
+            return optax.apply_updates(dec_t, d_upd), dec_opt, loss, out
 
-        def dec_step_single(z1, dec_p1, dec_opt1, tgt1, m1, zr1):
+        def dec_step_single(z1, dec_t1, dec_opt1, tgt1, m1, zr1):
             (loss, out), gd = jax.value_and_grad(
                 total_loss_s, argnums=1, has_aux=True
-            )(z1, dec_p1, tgt1, m1, zr1)
-            d_upd, dec_opt1 = dec_tx.update(gd, dec_opt1, dec_p1)
-            return optax.apply_updates(dec_p1, d_upd), dec_opt1, loss, out
+            )(z1, dec_t1, tgt1, m1, zr1)
+            d_upd, dec_opt1 = dec_tx.update(gd, dec_opt1, dec_t1)
+            return optax.apply_updates(dec_t1, d_upd), dec_opt1, loss, out
 
         dec_step_b = jax.vmap(dec_step_single, in_axes=(0, 0, 0, 0, 0, 0))
 
@@ -291,16 +318,16 @@ def make_latent_optimizer(model: HMVAE, cfg: Config,
         else:
             z_opt0 = z_tx.init(z0)
             big = jnp.full((), jnp.inf)
-        out0 = decode(dec_sub, z0) if lat.track_best else None
+        out0 = decode(wrap(train0), z0) if lat.track_best else None
         best0 = (big, out0) if lat.track_best else ()
 
         def z_body(carry, _):
             z, z_opt, best = carry
             if per_win:
                 z, z_opt, loss_b, out = z_step_b(
-                    z, z_opt, dec_sub, targets, mask, z_reg_target)
+                    z, z_opt, train0, targets, mask, z_reg_target)
                 return (z, z_opt, track(best, loss_b, out)), jnp.mean(loss_b)
-            z, z_opt, loss, out = z_step(z, z_opt, dec_sub)
+            z, z_opt, loss, out = z_step(z, z_opt, train0)
             return (z, z_opt, track(best, loss, out)), loss
 
         (z, z_opt, best), losses_z = jax.lax.scan(
@@ -312,10 +339,10 @@ def make_latent_optimizer(model: HMVAE, cfg: Config,
 
         if lat.optimize_decoder and n_scan > n_z:
             if per_win:
-                dec_p0 = bcast_dec(dec_sub)
+                dec_p0 = bcast_dec(train0)
                 dec_opt0 = jax.vmap(dec_tx.init)(dec_p0)
             else:
-                dec_p0, dec_opt0 = dec_sub, dec_tx.init(dec_sub)
+                dec_p0, dec_opt0 = train0, dec_tx.init(train0)
 
             def dec_body(carry, _):
                 dec_p, dec_opt, best = carry
@@ -332,7 +359,7 @@ def make_latent_optimizer(model: HMVAE, cfg: Config,
                 None, length=n_scan - n_z)
             losses = jnp.concatenate([losses_z, losses_d])
         else:
-            dec_p, dec_opt = dec_sub, None
+            dec_p, dec_opt = train0, None
             losses = losses_z
 
         # final iteration explicitly (phase is static too)
@@ -350,7 +377,7 @@ def make_latent_optimizer(model: HMVAE, cfg: Config,
                 dec_p, dec_opt, loss_last, last = dec_step(z, dec_p, dec_opt)
         elif per_win:
             z, z_opt, loss_last, last = z_step_b(
-                z, z_opt, dec_sub, targets, mask, z_reg_target)
+                z, z_opt, train0, targets, mask, z_reg_target)
         else:
             z, z_opt, loss_last, last = z_step(z, z_opt, dec_p)
         losses = jnp.concatenate(

@@ -62,6 +62,15 @@ def main(argv=None):
                         "per-window deepcopy semantics "
                         "(seq_two_hier_sa_vae.py:1343-1345)")
 
+    p.add_argument("--finetune_scope", default=None,
+                   choices=["full", "last_conv", "heads"],
+                   help="decoder subtree the fine-tune phase optimizes "
+                        "(latent_opt.finetune_scope).  'full' = the "
+                        "reference's whole-decoder deepcopy (default); "
+                        "'last_conv'/'heads' freeze the rest — 5x/200x less "
+                        "per-window clone HBM traffic (BASELINE.md "
+                        "'fine-tune scope')")
+
     p.add_argument("--final_motion_completion_long_seq", action="store_true")
     p.add_argument("--final_try_long_seq_interpolation", action="store_true")
     p.add_argument("--try_final_long_seq_generation", action="store_true")
@@ -100,6 +109,12 @@ def main(argv=None):
         cfg = dataclasses.replace(
             cfg, latent_opt=dataclasses.replace(
                 cfg.latent_opt, per_window_decoder=False))
+    if args.finetune_scope:
+        import dataclasses
+
+        cfg = dataclasses.replace(
+            cfg, latent_opt=dataclasses.replace(
+                cfg.latent_opt, finetune_scope=args.finetune_scope))
 
     model_name = os.path.splitext(os.path.basename(args.config))[0]
     if args.final_try_long_seq_interpolation:

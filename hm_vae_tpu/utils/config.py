@@ -123,6 +123,16 @@ class LatentOptConfig:
     # only touches training — without the distinct name, setting the training
     # perf mode silently degraded eval-time solves too
     opt_moment_dtype: str = "float32"
+    # which decoder subtree the fine-tune phase clones/optimizes:
+    #   "full"      — every decoder tensor (the reference's deepcopy; default)
+    #   "last_conv" — only the final skeleton-conv block (~5 of 27.6 MB on the
+    #                 len-64 model): the per-window weight+moment HBM traffic
+    #                 that bounds the per-window-clone solve drops ~5x
+    #   "heads"     — only the latent re-inflation linears (~0.14 MB, ~200x)
+    # The frozen remainder stays the trained decoder and is SHARED across
+    # windows (no per-window replication, no Adam state, no weight grads).
+    # Quality/cost A/B on the eval split: BASELINE.md "fine-tune scope".
+    finetune_scope: str = "full"
     replace_frame_with_gt: bool = True
     replace_part_with_gt: bool = True
     missing_upper_completion: bool = False

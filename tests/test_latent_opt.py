@@ -441,3 +441,65 @@ def test_shared_decoder_mode_still_available():
                 jax.tree.map(jnp.zeros_like, z))
     hist = np.asarray(res.loss_history)
     assert np.isfinite(hist).all() and hist[-1] < hist[0]
+
+
+@pytest.mark.parametrize("scope", ["last_conv", "heads"])
+@pytest.mark.parametrize("per_win", [True, False])
+def test_finetune_scope_subtree(scope, per_win):
+    """Restricted fine-tune scopes run in both solver formulations and still
+    optimize: the dec phase keeps reducing the loss below the z phase's end,
+    and the whole trajectory stays finite."""
+    import dataclasses
+
+    cfg = dataclasses.replace(CFG, latent_opt=dataclasses.replace(
+        CFG.latent_opt, finetune_scope=scope, per_window_decoder=per_win))
+    model, params = _model_and_params()
+    solve = make_latent_optimizer(model, cfg)
+    mats = _rand_rotmat_seq(jax.random.PRNGKey(3), 8)[None]
+    from hm_vae_tpu.apps.tasks import _targets_from_rotmat
+    targets = _targets_from_rotmat(mats)
+    mask = jnp.ones((2, 8, 24))
+    tgt2 = jax.tree.map(lambda x: jnp.concatenate([x, x]), targets)
+    z = init_z(jax.random.PRNGKey(4), cfg, 2)
+    zr = jax.tree.map(jnp.zeros_like, z)
+    res = solve(params, tgt2, mask, z, zr)
+    hist = np.asarray(res.loss_history)
+    assert np.isfinite(hist).all()
+    n_z = cfg.latent_opt.prev_epochs + 1
+    assert hist[-1] < hist[n_z - 1], (hist[n_z - 1], hist[-1])
+    assert hist[-1] < hist[0] * 0.9
+
+
+def test_finetune_scope_full_matches_default():
+    """finetune_scope='full' is the default path — bit-identical results."""
+    import dataclasses
+
+    model, params = _model_and_params()
+    mats = _rand_rotmat_seq(jax.random.PRNGKey(5), 8)[None]
+    from hm_vae_tpu.apps.tasks import _targets_from_rotmat
+    targets = _targets_from_rotmat(mats)
+    mask = jnp.ones((1, 8, 24))
+    z = init_z(jax.random.PRNGKey(6), CFG, 1)
+    zr = jax.tree.map(jnp.zeros_like, z)
+    r1 = make_latent_optimizer(model, CFG)(params, targets, mask, z, zr)
+    cfg2 = dataclasses.replace(CFG, latent_opt=dataclasses.replace(
+        CFG.latent_opt, finetune_scope="full"))
+    r2 = make_latent_optimizer(model, cfg2)(params, targets, mask, z, zr)
+    np.testing.assert_array_equal(np.asarray(r1.last_6d),
+                                  np.asarray(r2.last_6d))
+
+
+def test_finetune_scope_rejects_unknown():
+    import dataclasses
+
+    cfg = dataclasses.replace(CFG, latent_opt=dataclasses.replace(
+        CFG.latent_opt, finetune_scope="nope"))
+    model, params = _model_and_params()
+    solve = make_latent_optimizer(model, cfg)
+    mats = _rand_rotmat_seq(jax.random.PRNGKey(7), 8)[None]
+    from hm_vae_tpu.apps.tasks import _targets_from_rotmat
+    targets = _targets_from_rotmat(mats)
+    mask = jnp.ones((1, 8, 24))
+    z = init_z(jax.random.PRNGKey(8), cfg, 1)
+    with pytest.raises(ValueError, match="finetune_scope"):
+        solve(params, targets, mask, z, jax.tree.map(jnp.zeros_like, z))
