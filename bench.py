@@ -113,7 +113,8 @@ def bench_end_to_end(batch: int = 64, K: int = 32, windows: int = 12,
 
 
 def bench_latent_opt(windows: int = 10, opt_it: int = 150,
-                     per_window_decoder: bool = True) -> float:
+                     per_window_decoder: bool = True,
+                     finetune_scope: str = "full") -> float:
     """The flagship application: temporal interpolation by test-time latent
     optimization (150 Adam steps incl. decoder fine-tune after 50), all
     windows in one batched jitted solve.  Returns ms per solve (isolated
@@ -139,6 +140,7 @@ def bench_latent_opt(windows: int = 10, opt_it: int = 150,
         latent_opt=LatentOptConfig(opt_it=opt_it, opt_lr=0.1, opt_step_size=50,
                                    prev_epochs=50, optimize_decoder=True,
                                    per_window_decoder=per_window_decoder,
+                                   finetune_scope=finetune_scope,
                                    interpolation_window=5))
     model = HMVAE(cfg.model)
     params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 24, 6)))
