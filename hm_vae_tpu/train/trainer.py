@@ -427,10 +427,34 @@ class Trainer:
         # hides the measured ~9 ms/14 MB relay transfer (BASELINE.md).
         pending = None
         nan_restored_from = -1
+        # preemption safety (RunConfig.preemption_checkpoint): TPU-VM /
+        # GCE preemption delivers SIGTERM with a short grace window; flag it
+        # here and checkpoint-then-return at the next loop boundary.  Only
+        # the main thread can install signal handlers — elsewhere (e.g. a
+        # fit driven from a worker thread) the feature degrades to off.
+        import signal as _signal
+        self._preempted = False
+        prev_handler, handler_installed = None, False
+        if cfg.run.preemption_checkpoint:
+            def _on_sigterm(signum, frame):
+                self._preempted = True
+            try:
+                prev_handler = _signal.signal(_signal.SIGTERM, _on_sigterm)
+                handler_installed = True
+            except ValueError:   # not the main thread
+                pass
         try:
             i = start
             while i < max_iter:
                 prev_i = i
+                if self._preempted:
+                    self.save(i)
+                    self.wait_for_saves()
+                    self.writer.write(i, {"preempt_checkpoint_step": i})
+                    logging.getLogger(__name__).warning(
+                        "SIGTERM received: checkpointed at step %d, "
+                        "exiting fit cleanly (resume with --resume)", i)
+                    break
                 # host arrays go straight into the jit: a one-shot implicit
                 # transfer per call (pre-device_put'ed arrays get re-staged
                 # across the TPU relay on EVERY executable launch — measured
@@ -522,6 +546,14 @@ class Trainer:
                         and crossed(cfg.run.image_save_iter)):
                     self._save_visualizations(test_ds, i, rng)
         finally:
+            if handler_installed:
+                try:
+                    _signal.signal(
+                        _signal.SIGTERM,
+                        prev_handler if prev_handler is not None
+                        else _signal.SIG_DFL)
+                except ValueError:
+                    pass
             if hasattr(it, "close"):
                 it.close()
             # capture BEFORE entering the except handler: inside the handler

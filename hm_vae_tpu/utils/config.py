@@ -226,6 +226,12 @@ class RunConfig:
     # device->host readback + orbax write while the train loop keeps
     # dispatching.  The reference's torch.save blocks the loop.
     async_checkpoint: bool = False
+    # preemption safety: on SIGTERM (the TPU-VM / GCE preemption signal,
+    # ~30 s grace), fit() checkpoints synchronously at the current step and
+    # returns cleanly so --resume continues from it.  The reference loses
+    # everything since the last periodic snapshot.  Handler is installed
+    # only for the duration of fit() and only in the main thread.
+    preemption_checkpoint: bool = True
 
 
 @dataclasses.dataclass(frozen=True)
