@@ -15,6 +15,8 @@ import numpy as np
 
 
 def main(argv=None):
+    from . import apply_platform_env
+    apply_platform_env()
     p = argparse.ArgumentParser(description="Trajectory prediction evaluation")
     p.add_argument("--config", type=str, required=True,
                    help="VAE config (for sampling)")
@@ -30,6 +32,10 @@ def main(argv=None):
     p.add_argument("--seq_generation_npy_path", type=str, default="")
     p.add_argument("--seq_generation_npy_folder", type=str, default="")
     p.add_argument("--debug_trajectory", action="store_true")
+    p.add_argument("--sequence_parallel", type=int, default=1,
+                   help="shard the trajectory model's time axis over N "
+                        "devices (halo-exchange sequence parallelism); "
+                        "removes the single-device length limit")
     args = p.parse_args(argv)
 
     import jax
@@ -60,8 +66,13 @@ def main(argv=None):
                         mean_std=trainer.mean_std)
     if args.trajectory_test_model:
         t_trainer.load_params(args.trajectory_test_model)
+    sp_mesh = None
+    if args.sequence_parallel > 1:
+        from ..parallel import sharding as sh
+
+        sp_mesh = sh.make_mesh(args.sequence_parallel, model_parallel=1)
     runner = TrajectoryRunner(t_trainer.model, t_trainer.state.params,
-                              trainer.mean_std)
+                              trainer.mean_std, sp_mesh=sp_mesh)
 
     def run_and_save(rot6d, tag):
         world, root_v = runner(rot6d)

@@ -117,15 +117,30 @@ class TrajectoryRunner:
     Mirrors ``sampled_seq_test`` (``trajectory_pred_model.py:399-440``):
     FK -> normalise with the dataset stats' joint-pos slice -> encoder ->
     de-standardise root_v -> integrate.
+
+    ``sp_mesh``: optional mesh for temporal sequence parallelism — the time
+    axis is sharded over ``sp_mesh[sp_axis]`` with per-level halo exchange
+    (:mod:`hm_vae_tpu.parallel.sequence_parallel`), removing the
+    single-device memory limit the reference's one-shot arbitrary-T run has.
+    Arbitrary lengths are handled by pad-and-trim (see
+    ``make_sp_trajectory_fn(pad_incomplete=True)``).
     """
 
-    def __init__(self, model: TrajectoryModel, params, mean_std: np.ndarray):
+    def __init__(self, model: TrajectoryModel, params, mean_std: np.ndarray,
+                 sp_mesh=None, sp_axis: str = "data"):
         self.model = model
         self.params = params
         self.mean = jnp.asarray(mean_std[0])
         self.std = jnp.asarray(mean_std[1])
         self._predict = make_root_v_fn(model, params, mean_std)
         self._jit_pred = jax.jit(self._predict)
+        self._sp = None
+        if sp_mesh is not None and sp_mesh.shape[sp_axis] > 1:
+            from ..parallel.sequence_parallel import make_sp_trajectory_fn
+
+            self._sp = make_sp_trajectory_fn(
+                model, params, mean_std, sp_mesh, sp_axis,
+                pad_incomplete=True)
 
     def __call__(self, data: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """data: (B, T, 24, 6) rot6d or (B, T, 24, 3) positions.
@@ -136,6 +151,8 @@ class TrajectoryRunner:
             pose = fk_mod.fk_from_rot6d(data, fk_mod.default_offsets())
         else:
             pose = data
+        if self._sp is not None:
+            return self._sp(pose)
         root_v = self._jit_pred(pose)
         return add_trajectory(pose, root_v), root_v
 

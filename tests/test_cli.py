@@ -174,6 +174,18 @@ def test_eval_trajectory_cli(tmp_path):
     arr = np.load(out_dir / "sampled_single_window_0.npy")
     assert arr.shape[-1] == 9  # 6D ++ world positions
 
+    # --sequence_parallel: same eval with the trajectory model's time axis
+    # sharded over 2 devices (halo exchange + pad-and-trim; T=8 windows ->
+    # T_local=4 > halo 1 for kernel 3)
+    sp_out = str(tmp_path / "sp")
+    main(["--config", vp, "--trajectory_config", tp,
+          "--output_path", sp_out, "--num_samples", "2",
+          "--pred_trajectory_for_single_window", "--sequence_parallel", "2"])
+    arr_sp = np.load(os.path.join(sp_out, "eval_trajectory", "vae",
+                                  "sampled_single_window_0.npy"))
+    # same seed + divisible T -> the sharded run reproduces the unsharded one
+    np.testing.assert_allclose(arr_sp, arr, rtol=2e-4, atol=2e-5)
+
 
 def test_eval_completion_single_window_cli(tmp_path):
     """--final_motion_completion: the intended single-window API with random
