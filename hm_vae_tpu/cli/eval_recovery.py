@@ -25,6 +25,8 @@ import numpy as np
 
 
 def main(argv=None):
+    from . import apply_platform_env
+    apply_platform_env()
     p = argparse.ArgumentParser(description="Latent-optimization evaluations")
     p.add_argument("--config", type=str, required=True)
     p.add_argument("--output_path", type=str, default="./")

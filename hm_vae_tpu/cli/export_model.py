@@ -23,6 +23,8 @@ import os
 
 
 def main(argv=None):
+    from . import apply_platform_env
+    apply_platform_env()
     p = argparse.ArgumentParser(
         description="Export a serving bundle (StableHLO via jax.export)")
     p.add_argument("--config", type=str, required=True,

@@ -18,6 +18,8 @@ import argparse
 
 
 def main(argv=None):
+    from . import apply_platform_env
+    apply_platform_env()
     p = argparse.ArgumentParser(description="Prepare motion data")
     p.add_argument("--amass_dir", type=str, default="")
     p.add_argument("--dest", type=str, required=True)

@@ -34,6 +34,8 @@ def load_pose_sequences(path: str):
 
 
 def main(argv=None):
+    from . import apply_platform_env
+    apply_platform_env()
     p = argparse.ArgumentParser(description="Refine VIBE pose estimates")
     p.add_argument("--config", type=str, required=True)
     p.add_argument("--test_model", type=str, default="")

@@ -13,6 +13,8 @@ import shutil
 
 
 def main(argv=None):
+    from . import apply_platform_env
+    apply_platform_env()
     p = argparse.ArgumentParser(description="Train hm-vae / trajectory models")
     p.add_argument("--config", type=str, required=True)
     p.add_argument("--output_path", type=str, default="./")
