@@ -194,7 +194,8 @@ class LatentOptApps:
         solve: every sequence's windows flatten into a single batch axis
         (windows are independent, cf. :meth:`complete_many` /
         :meth:`generate_many`).  The batch is padded up to a multiple of
-        ``pad_to_multiple`` (repeating the first window; padded rows are
+        ``pad_to_multiple`` (cycling across all real windows so no single
+        window gets extra weight in shared-clone mode; padded rows are
         discarded) so different chunks reuse one solver compile instead of
         recompiling per total window count.
 
