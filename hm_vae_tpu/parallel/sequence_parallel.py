@@ -91,6 +91,13 @@ def _encoder_local(x: jnp.ndarray, params, st, compute_dtype: str,
     enc = params["params"]["encoder"]
     for i, lvl in enumerate(st.levels):
         s = lvl.conv
+        if s.stride != 1:
+            # halo + VALID equals the global conv only when shard boundaries
+            # stay aligned frame-for-frame; the trajectory encoder is
+            # stride-1 by construction (trajectory_pred_model.py:87)
+            raise ValueError(
+                f"sequence parallelism requires stride 1, level {i} has "
+                f"stride {s.stride}")
         w = enc[f"conv_{i}"]["weight"]
         b = enc[f"conv_{i}"]["bias"] if s.bias else None
         if compute_dtype == "bfloat16":
