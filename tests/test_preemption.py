@@ -61,6 +61,37 @@ def test_sigterm_checkpoints_and_exits_cleanly(tmp_path):
     assert int(trainer2.state.step) == stopped_at + 2
 
 
+def test_sigterm_with_async_checkpointing(tmp_path):
+    """The preemption snapshot is durable even with async checkpointing on:
+    the SIGTERM path saves then wait_for_saves() before returning, so the
+    write lands before the process is allowed to die."""
+    tmp = str(tmp_path)
+    cfg = tiny_cfg(tmp, max_iter=50)
+    cfg = dataclasses.replace(
+        cfg, run=dataclasses.replace(cfg.run, log_iter=2,
+                                     snapshot_save_iter=10_000,
+                                     async_checkpoint=True))
+    trainer, train_ds, _, _ = build_trainer(cfg, os.path.join(tmp, "run"))
+
+    fired = []
+
+    def cb(step, _m):
+        if step >= 4 and not fired:
+            fired.append(step)
+            os.kill(os.getpid(), signal.SIGTERM)
+
+    trainer.fit(train_ds, None, log_cb=cb)
+    stopped_at = int(trainer.state.step)
+    assert fired and stopped_at < 50
+
+    trainer2, _, _, _ = build_trainer(cfg, os.path.join(tmp, "run"))
+    assert trainer2.resume() == stopped_at
+    p_saved = jax.tree.leaves(trainer.state.params)
+    p_resumed = jax.tree.leaves(trainer2.state.params)
+    for a, b in zip(p_saved, p_resumed):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_preemption_handler_disabled_by_config(tmp_path):
     """preemption_checkpoint=False leaves SIGTERM handling untouched."""
     tmp = str(tmp_path)
