@@ -23,12 +23,14 @@ time, ``:804-817``).
 Init parity note: the reference's ``weights_init`` only rebinds modules whose
 class name *starts with* Conv/Linear (``trainer_motion_vae.py:264-283``), so
 SkeletonConv keeps its per-block kaiming-uniform(a=sqrt(5)) init while the
-plain latent Linears get kaiming-normal(fan_in) with zero bias.  Both are
-reproduced here.
+plain latent Linears get the scheme named by the YAML `init` key
+(gaussian/xavier/kaiming/orthogonal/default — see :func:`dense_kernel_init`)
+with zero bias.  Both are reproduced here.
 """
 
 from __future__ import annotations
 
+import math
 from typing import List, Sequence, Tuple
 
 import flax.linen as nn
@@ -69,9 +71,41 @@ def _skeleton_conv_bias_init(spec: ConvSpec):
     return init
 
 
-# latent heads: kaiming_normal(fan_in), zero bias (trainer weights_init
-# 'kaiming' branch, trainer_motion_vae.py:273-282)
-_dense_kernel_init = nn.initializers.variance_scaling(2.0, "fan_in", "normal")
+def dense_kernel_init(init_type: str = "kaiming"):
+    """The trainer's ``weights_init`` dispatch (trainer_motion_vae.py:264-283).
+
+    The reference re-initializes every module whose class name *starts with*
+    ``Conv`` or ``Linear`` — so the plain latent ``nn.Linear`` heads are hit
+    while ``SkeletonConv``/``SkeletonLinear`` (prefixed ``Skeleton``) keep
+    their construction-time per-block kaiming-uniform init.  This mirrors
+    that: it only feeds the latent Dense heads.  Bias is zeroed for every
+    branch, including ``default`` (trainer_motion_vae.py:281-282).
+
+    torch -> jax std equivalences (torch weight is (out, in); flax kernel is
+    (in, out); fan_in matches either way):
+      gaussian   normal_(0, 0.02)                 -> normal(0.02)
+      xavier     xavier_normal_(gain=sqrt(2)):    std = 2/sqrt(fi+fo)
+                 = variance_scaling(2.0, fan_avg, normal)
+      kaiming    kaiming_normal_(a=0, fan_in):    std = sqrt(2/fi)
+                 = variance_scaling(2.0, fan_in, normal)
+      orthogonal orthogonal_(gain=sqrt(2))        -> orthogonal(sqrt(2))
+                 (semi-orthogonal up to transpose convention)
+      default    torch Linear kaiming_uniform(a=sqrt(5)): bound = 1/sqrt(fi)
+                 = variance_scaling(1/3, fan_in, uniform)
+    """
+    if init_type == "gaussian":
+        return nn.initializers.normal(stddev=0.02)
+    if init_type == "xavier":
+        return nn.initializers.variance_scaling(2.0, "fan_avg", "normal")
+    if init_type == "kaiming":
+        return nn.initializers.variance_scaling(2.0, "fan_in", "normal")
+    if init_type == "orthogonal":
+        return nn.initializers.orthogonal(scale=math.sqrt(2.0))
+    if init_type == "default":
+        return nn.initializers.variance_scaling(1.0 / 3.0, "fan_in", "uniform")
+    raise ValueError(
+        f"unsupported init: {init_type!r} "
+        "(expected gaussian|xavier|kaiming|orthogonal|default)")
 
 
 class SkeletonConv(nn.Module):
@@ -130,6 +164,7 @@ class Encoder(nn.Module):
     """
 
     cfg: ModelConfig
+    init_type: str = "kaiming"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> Tuple[jnp.ndarray, List[jnp.ndarray]]:
@@ -151,7 +186,7 @@ class Encoder(nn.Module):
             # (B, k_edges*cpe, T') -> (B, k_edges, cpe*T')
             per_edge = x.reshape(B, lvl.pooled_edges, -1)
             head = nn.Dense(
-                lvl.latent_out, kernel_init=_dense_kernel_init,
+                lvl.latent_out, kernel_init=dense_kernel_init(self.init_type),
                 bias_init=nn.initializers.zeros, name=f"latent_head_{i}",
             )
             z_stats.append(head(per_edge))
@@ -165,6 +200,7 @@ class Decoder(nn.Module):
     """
 
     cfg: ModelConfig
+    init_type: str = "kaiming"
 
     @nn.compact
     def __call__(self, z_list: Sequence[jnp.ndarray]) -> jnp.ndarray:
@@ -177,7 +213,7 @@ class Decoder(nn.Module):
         for i, lvl in enumerate(st.decoder_levels):
             z = z_list[nl - i - 1]  # (B, k_edges, latent_in)
             feats = nn.Dense(
-                lvl.latent_out, kernel_init=_dense_kernel_init,
+                lvl.latent_out, kernel_init=dense_kernel_init(self.init_type),
                 bias_init=nn.initializers.zeros, name=f"latent_dec_{i}",
             )(z)
             hier_feats.append(feats.reshape(B, -1, lvl.timestep))
@@ -224,10 +260,13 @@ class HMVAE(nn.Module):
     """Hierarchical skeleton-aware VAE: encode to z stats, decode z lists."""
 
     cfg: ModelConfig
+    # weights_init scheme for the latent Dense heads (OptimConfig.init;
+    # reference flat-YAML key `init`, configs/len64_no_aug_hm_vae.yaml:11)
+    init_type: str = "kaiming"
 
     def setup(self):
-        self.encoder = Encoder(self.cfg)
-        self.decoder = Decoder(self.cfg)
+        self.encoder = Encoder(self.cfg, self.init_type)
+        self.decoder = Decoder(self.cfg, self.init_type)
 
     def __call__(self, x6d: jnp.ndarray):
         """x6d: (B, T, n_joints, 6) -> (z_stats list, decoder out of means).

@@ -30,7 +30,7 @@ from ..ops import fk as fk_mod
 from ..ops import rotations as rot
 from ..ops import skeleton_nn as snn
 from ..utils.config import Config, ModelConfig
-from .hm_vae import SkeletonConv, _dense_kernel_init
+from .hm_vae import SkeletonConv, dense_kernel_init
 from .structure import get_trajectory_structure
 
 
@@ -54,6 +54,9 @@ class TrajectoryModel(nn.Module):
     """Per-frame root velocity regression from pose sequences."""
 
     cfg: ModelConfig
+    # weights_init scheme for fc_mapping (a plain nn.Linear in the reference,
+    # so the trainer's weights_init rebinds it; trainer_motion_vae.py:264-283)
+    init_type: str = "kaiming"
 
     @nn.compact
     def __call__(self, inputs: jnp.ndarray) -> jnp.ndarray:
@@ -67,7 +70,7 @@ class TrajectoryModel(nn.Module):
         # (trajectory_pred_model.py:230-235)
         feat = latent.transpose(0, 2, 1)
         return nn.Dense(
-            3, kernel_init=_dense_kernel_init,
+            3, kernel_init=dense_kernel_init(self.init_type),
             bias_init=nn.initializers.zeros, name="fc_mapping",
         )(feat)
 

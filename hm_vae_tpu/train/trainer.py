@@ -24,7 +24,7 @@ import numpy as np
 import optax
 
 from ..data.dataset import MotionDataset, PrefetchIterator, make_loaders
-from ..models.hm_vae import HMVAE
+from ..models.hm_vae import HMVAE, dense_kernel_init
 from ..models.trajectory import TrajectoryModel, trajectory_losses
 from ..parallel import sharding as sh
 from ..utils.config import Config
@@ -73,10 +73,13 @@ class Trainer:
         self.mean_std = mean_std
 
         name = cfg.model.model_name
+        # fail fast on an unknown `init:` scheme (reference dispatch,
+        # trainer_motion_vae.py:264-283) rather than inside the init trace
+        dense_kernel_init(cfg.optim.init)
         if name == "TrajectoryModel":
-            self.model = TrajectoryModel(cfg.model)
+            self.model = TrajectoryModel(cfg.model, init_type=cfg.optim.init)
         elif name == "TwoHierSAVAEModel":
-            self.model = HMVAE(cfg.model)
+            self.model = HMVAE(cfg.model, init_type=cfg.optim.init)
         else:
             raise ValueError(f"unknown model_name: {name}")
 

@@ -69,6 +69,9 @@ class LossConfig:
 class OptimConfig:
     lr: float = 1e-4
     weight_decay: float = 1e-4
+    # weights_init scheme for the latent Dense heads:
+    # gaussian | xavier | kaiming | orthogonal | default
+    # (trainer_motion_vae.py:264-283; dispatched in models.hm_vae.dense_kernel_init)
     init: str = "kaiming"
     lr_policy: str = "step"          # constant | step | mstep
     step_size: Any = 100000          # int, or list for mstep
