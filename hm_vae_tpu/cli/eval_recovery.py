@@ -176,9 +176,11 @@ def main(argv=None):
         else:
             eval_kwargs = dict(missing="random", missing_joint_prob=mprob,
                                seed=cfg.run.seed)
+    from ..data.dataset import resolve_split_json
+
     eval_ds = EvalMotionDataset(
         os.path.join(cfg.data.data_root, "seqs"),
-        os.path.join(cfg.data.data_root, "test.json"), **eval_kwargs)
+        resolve_split_json(cfg, "test"), **eval_kwargs)
 
     rng = jax.random.PRNGKey(cfg.run.seed)
     W = cfg.model.train_seq_len

@@ -94,8 +94,10 @@ def main(argv=None):
 
         # two test motions for swap + lerp probes
         W = cfg.model.train_seq_len
+        from ..data.dataset import resolve_split_json
+
         ds = EvalMotionDataset(os.path.join(cfg.data.data_root, "seqs"),
-                               os.path.join(cfg.data.data_root, "test.json"))
+                               resolve_split_json(cfg, "test"))
         # prefer windows from two different sequences; with a single eligible
         # test sequence fall back to two non-overlapping windows of it
         picks, fallback = [], None

@@ -267,6 +267,27 @@ class PrefetchIterator:
         self._stop.set()
 
 
+def resolve_split_json(cfg: Config, split: str,
+                       data_dir: Optional[str] = None) -> str:
+    """Resolve the ``split`` manifest path: DataConfig.{split}_json first.
+
+    ``"reference"`` selects the vendored historical manifest
+    (:func:`~hm_vae_tpu.data.layout.reference_split_path` — the reference's
+    literal 10818/363/140 file inventory); otherwise the field is tried as a
+    path (as given, then relative to the data dir — this is how the
+    reference-named ``*_all_amass_motion_data.json`` defaults resolve when
+    present); fallback is the prep-generated ``{split}.json``.
+    """
+    d = data_dir or cfg.data.data_root
+    field = getattr(cfg.data, f"{split}_json", "")
+    if field == "reference":
+        return layout.reference_split_path(split)
+    for cand in (field, os.path.join(d, field)) if field else ():
+        if os.path.exists(cand):
+            return cand
+    return os.path.join(d, f"{split}.json")
+
+
 def make_loaders(cfg: Config, data_dir: Optional[str] = None):
     """(train, val, test) MotionDatasets from a processed/synthetic data dir.
 
@@ -277,7 +298,11 @@ def make_loaders(cfg: Config, data_dir: Optional[str] = None):
     from . import synthetic
 
     d = data_dir or cfg.data.data_root
-    if cfg.data.synthetic or not os.path.exists(os.path.join(d, "train.json")):
+
+    def _index_path(split: str) -> str:
+        return resolve_split_json(cfg, split, d)
+
+    if cfg.data.synthetic or not os.path.exists(_index_path("train")):
         os.makedirs(d, exist_ok=True)
         if not os.path.exists(os.path.join(d, "train.json")):
             synthetic.generate_dataset(
@@ -304,7 +329,7 @@ def make_loaders(cfg: Config, data_dir: Optional[str] = None):
 
     def mk(split, seed):
         return MotionDataset(
-            seq_dir, os.path.join(d, f"{split}.json"), mean_std,
+            seq_dir, _index_path(split), mean_std,
             cfg.model.train_seq_len, fps_aug=cfg.data.fps_aug_flag,
             random_root_rot=host_aug, seed=seed,
         )
@@ -315,7 +340,7 @@ def make_loaders(cfg: Config, data_dir: Optional[str] = None):
             from .native_loader import NativeMotionLoader
 
             native = NativeMotionLoader(
-                seq_dir, os.path.join(d, "train.json"), mean_std,
+                seq_dir, _index_path("train"), mean_std,
                 cfg.model.train_seq_len, fps_aug=cfg.data.fps_aug_flag,
                 seed=cfg.run.seed,
             )

@@ -43,6 +43,21 @@ BATCH_FIELDS = (
 )
 
 
+def reference_split_path(split: str) -> str:
+    """Path to the vendored HISTORICAL split manifest for ``split``.
+
+    The reference's literal train/val/test file inventories
+    (10818/363/140 entries, ``utils/divide_train_val_json.py:118-120``)
+    are vendored so the paper-era index->name mapping is byte-reproducible;
+    :func:`hm_vae_tpu.data.amass_prep.prepare` regenerates the same *rule*
+    but walks the filesystem, so ordering can differ.
+    """
+    if split not in ("train", "val", "test"):
+        raise ValueError(f"unknown split: {split!r}")
+    return os.path.join(ASSETS_DIR, "splits",
+                        f"{split}_all_amass_motion_data.json")
+
+
 def load_mean_std(path: str | None = None) -> np.ndarray:
     """(2, 579) mean/std with zero stds replaced by 1
     (utils_motion_vae.py:99-100)."""

@@ -216,3 +216,63 @@ def test_ordered_validation_batches_deterministic(tmp_path):
                 for t0 in range(s.shape[0] - 8 + 1)
             )
             assert found, "ordered-batch window is augmented or non-contiguous"
+
+
+# ---------------------------------------------------------------------------
+# vendored reference split manifests (divide_train_val_json.py:118-120)
+
+def test_reference_split_manifests_vendored():
+    """The literal historical train/val/test inventories ship as assets."""
+    import json
+
+    from hm_vae_tpu.data.dataset import resolve_split_json
+    from hm_vae_tpu.utils.config import Config
+
+    expected = {"train": 10818, "val": 363, "test": 140}
+    for split, n in expected.items():
+        path = layout.reference_split_path(split)
+        assert os.path.exists(path), path
+        with open(path) as f:
+            ids = json.load(f)
+        assert len(ids) == n
+        # index->name mapping must be dense "0".."N-1" (the format both
+        # MotionDataset and the reference's MotionSeqData consume)
+        assert sorted(ids, key=int) == [str(i) for i in range(n)]
+        assert all(name.endswith(".npy") for name in ids.values())
+
+    with pytest.raises(ValueError):
+        layout.reference_split_path("dev")
+
+    # config keyword "reference" resolves to the vendored manifest
+    cfg = Config()
+    cfg = dataclasses_replace_data(cfg, train_json="reference")
+    assert resolve_split_json(cfg, "train") == layout.reference_split_path("train")
+
+
+def dataclasses_replace_data(cfg, **kw):
+    import dataclasses
+    return dataclasses.replace(cfg, data=dataclasses.replace(cfg.data, **kw))
+
+
+def test_resolve_split_json_precedence(tmp_path):
+    """Explicit path > data-dir-relative name > prep-generated fallback."""
+    from hm_vae_tpu.data.dataset import resolve_split_json
+    from hm_vae_tpu.utils.config import Config
+
+    d = tmp_path / "data"
+    d.mkdir()
+    cfg = dataclasses_replace_data(Config(), data_root=str(d))
+
+    # default field names don't exist yet -> fallback to prep-generated name
+    assert resolve_split_json(cfg, "test") == str(d / "test.json")
+
+    # reference-named manifest present in the data dir -> picked up
+    rel = d / "test_all_amass_motion_data.json"
+    rel.write_text("{}")
+    assert resolve_split_json(cfg, "test") == str(rel)
+
+    # explicit absolute path wins over everything
+    abs_json = tmp_path / "custom_split.json"
+    abs_json.write_text("{}")
+    cfg2 = dataclasses_replace_data(cfg, test_json=str(abs_json))
+    assert resolve_split_json(cfg2, "test") == str(abs_json)
