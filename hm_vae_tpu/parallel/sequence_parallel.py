@@ -183,7 +183,7 @@ def make_sp_trajectory_fn(
         local_fn, mesh=mesh,
         in_specs=(P(), P(None, axis, None, None)),
         out_specs=(P(None, axis, None, None), P(None, axis, None)),
-        check_vma=False,
+        check_vma=True,
     )
 
     def fn(pose: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:

@@ -114,14 +114,15 @@ class Trainer:
         if isinstance(self.model, TrajectoryModel):
             ms = self.mean_std
             if ms is None:
-                import logging
-
-                logging.getLogger(__name__).warning(
-                    "TrajectoryModel trainer has no dataset mean/std — "
-                    "falling back to zeros/ones normalisation; pass "
-                    "mean_std to Trainer for correct de-standardisation")
-                ms = np.stack(
-                    [np.zeros(579, np.float32), np.ones(579, np.float32)])
+                # hard error (r3 verdict): training/validating a trajectory
+                # model against zeros/ones stats silently produces wrong
+                # de-standardisation semantics (trainer_trajectory_model.py
+                # consumes the dataset stats); every CLI passes them —
+                # direct Trainer users must too.
+                raise ValueError(
+                    "TrajectoryModel training requires the dataset mean/std: "
+                    "pass mean_std=(2, 579) to Trainer (build_trainer wires "
+                    "it automatically)")
             return trajectory_losses(self.model, params, batch, self.cfg, ms)
         return hmvae_forward(self.model, params, batch, rng, step, self.cfg,
                              sample=sample)
@@ -445,7 +446,11 @@ class Trainer:
                 prev_handler = _signal.signal(_signal.SIGTERM, _on_sigterm)
                 handler_installed = True
             except ValueError:   # not the main thread
-                pass
+                logging.getLogger(__name__).warning(
+                    "preemption checkpointing disabled: fit() is not "
+                    "running in the main thread, so the SIGTERM handler "
+                    "cannot be installed (run.preemption_checkpoint "
+                    "degrades to off)")
         try:
             i = start
             while i < max_iter:

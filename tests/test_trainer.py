@@ -62,6 +62,22 @@ def test_trajectory_trainer_fit(tmp_path):
     assert "loss_rec_root_v" in m
 
 
+def test_trajectory_trainer_without_mean_std_hard_errors(tmp_path):
+    """Training a TrajectoryModel without dataset stats must fail loud
+    (r3 verdict): zeros/ones normalisation silently breaks the
+    de-standardisation semantics of the root-velocity loss."""
+    import pytest
+
+    from hm_vae_tpu.train.trainer import Trainer
+
+    tmp = str(tmp_path)
+    cfg = tiny_cfg(tmp, max_iter=2, model_name="TrajectoryModel")
+    trainer, train_ds, _, _ = build_trainer(cfg, os.path.join(tmp, "runM"))
+    trainer.mean_std = None  # simulate a direct Trainer(cfg) construction
+    with pytest.raises(ValueError, match="mean/std"):
+        trainer.fit(train_ds, None)
+
+
 def test_resume_with_explicit_missing_dir(tmp_path):
     cfg = tiny_cfg(str(tmp_path), max_iter=1)
     trainer, *_ = build_trainer(cfg, os.path.join(str(tmp_path), "run2"))
