@@ -193,7 +193,6 @@ class Trainer:
 
             aug = make_root_rot_augment(self.mean_std)
         self._aug_rng = jax.random.PRNGKey(self.cfg.run.seed + 91)
-        self._ingest_count = 0
 
         if aug is None:
             self._ingest_multi = jax.jit(
@@ -218,19 +217,21 @@ class Trainer:
 
         self._to_wire = to_wire
 
-    def _ingest_m(self, t):
+    # the aug stream is keyed by the TRAINING STEP at which the batch is
+    # consumed (checkpointed state), not a process-local call counter: a
+    # preempted-and-resumed run therefore replays the exact augmentation
+    # stream of an uninterrupted one
+    def _ingest_m(self, t, step: int):
         if self._augment is None:
             return self._ingest_multi(t)
-        self._ingest_count += 1
         return self._ingest_multi(
-            t, jax.random.fold_in(self._aug_rng, self._ingest_count))
+            t, jax.random.fold_in(self._aug_rng, step))
 
-    def _ingest_s(self, t):
+    def _ingest_s(self, t, step: int):
         if self._augment is None:
             return self._ingest_single(t)
-        self._ingest_count += 1
         return self._ingest_single(
-            t, jax.random.fold_in(self._aug_rng, self._ingest_count))
+            t, jax.random.fold_in(self._aug_rng, step))
 
     # ------------------------------------------------------------------
     # checkpointing
@@ -470,15 +471,16 @@ class Trainer:
                 if K > 1 and i + K <= max_iter:
                     if pending is None:
                         pending = self._ingest_m(
-                            self._to_wire(_next_super()))
+                            self._to_wire(_next_super()), i)
                     cur, pending = pending, None
                     self.state, metrics = self._multi_fn(
                         self.state, cur, jax.random.fold_in(rng, i))
                     if i + 2 * K <= max_iter:
                         # prefetch the next superbatch onto the device while
-                        # the step above runs
+                        # the step above runs; keyed by the step it will be
+                        # consumed at (i + K)
                         pending = self._ingest_m(
-                            self._to_wire(_next_super()))
+                            self._to_wire(_next_super()), i + K)
                     i += K
                 elif native_super:
                     # tail: fewer than K steps remain but the iterator yields
@@ -488,12 +490,14 @@ class Trainer:
                     for j in range(rem):
                         row = jax.tree.map(lambda x: x[j], sb)
                         self.state, metrics = self._step_fn(
-                            self.state, self._ingest_s(self._to_wire(row)),
+                            self.state,
+                            self._ingest_s(self._to_wire(row), i),
                             jax.random.fold_in(rng, i))
                         i += 1
                 else:
                     self.state, metrics = self._step_fn(
-                        self.state, self._ingest_s(self._to_wire(next(it))),
+                        self.state,
+                        self._ingest_s(self._to_wire(next(it)), i),
                         jax.random.fold_in(rng, i))
                     i += 1
 

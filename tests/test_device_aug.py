@@ -226,3 +226,40 @@ def test_root_v_batch_without_stats_raises():
     # no root_v: None stats are fine
     out = aug({"rot_6d": jnp.ones((2, 8, 24, 6))}, jax.random.PRNGKey(0))
     assert out["rot_6d"].shape == (2, 8, 24, 6)
+
+
+def test_aug_stream_keyed_by_training_step(tmp_path):
+    """The device-aug RNG folds in the TRAINING STEP, not a process-local
+    call counter (round-3 advisor item): two independently constructed
+    trainers — i.e. a resumed process — produce the identical augmented
+    batch for the same step, and a different draw for a different step."""
+    from hm_vae_tpu.train.trainer import build_trainer
+
+    def mk():
+        cfg = Config(
+            model=ModelConfig(latent_d=6, shallow_latent_d=6, kernel_size=3,
+                              train_seq_len=8),
+            optim=OptimConfig(lr=1e-3, batch_size=4, max_iter=4),
+            data=DataConfig(synthetic=True, synthetic_num_seqs=6,
+                            data_root=str(tmp_path / "data"),
+                            random_root_rot_flag=True),
+            run=RunConfig(log_iter=2, validation_iter=10**9,
+                          snapshot_save_iter=10**9, image_save_iter=10**9,
+                          nan_guard=False),
+        )
+        return build_trainer(cfg, str(tmp_path / "run"))[:2]
+
+    t1, ds1 = mk()
+    t2, _ = mk()
+    t1._build_steps()
+    t2._build_steps()
+    assert t1._augment is not None
+    batch = ds1.sample_batch(4)
+
+    a1 = t1._ingest_s(batch, 7)
+    a2 = t2._ingest_s(batch, 7)   # fresh process, same step -> same aug
+    for k in a1:
+        np.testing.assert_array_equal(np.asarray(a1[k]), np.asarray(a2[k]))
+
+    a3 = t1._ingest_s(batch, 8)   # different step -> different draw
+    assert not np.allclose(np.asarray(a1["rot_6d"]), np.asarray(a3["rot_6d"]))
