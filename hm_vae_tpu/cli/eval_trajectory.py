@@ -36,6 +36,11 @@ def main(argv=None):
                    help="shard the trajectory model's time axis over N "
                         "devices (halo-exchange sequence parallelism); "
                         "removes the single-device length limit")
+    p.add_argument("--sequence_parallel_strict", action="store_true",
+                   help="demand T %% N == 0 instead of pad-and-trim: the "
+                        "padded tail's conv context repeats the last frame, "
+                        "so the final few velocities are not bit-comparable "
+                        "to an unsharded run; strict mode errors instead")
     args = p.parse_args(argv)
 
     import jax
@@ -71,8 +76,10 @@ def main(argv=None):
         from ..parallel import sharding as sh
 
         sp_mesh = sh.make_mesh(args.sequence_parallel, model_parallel=1)
-    runner = TrajectoryRunner(t_trainer.model, t_trainer.state.params,
-                              trainer.mean_std, sp_mesh=sp_mesh)
+    runner = TrajectoryRunner(
+        t_trainer.model, t_trainer.state.params, trainer.mean_std,
+        sp_mesh=sp_mesh,
+        sp_pad_incomplete=not args.sequence_parallel_strict)
 
     def run_and_save(rot6d, tag):
         world, root_v = runner(rot6d)

@@ -126,11 +126,16 @@ class TrajectoryRunner:
     (:mod:`hm_vae_tpu.parallel.sequence_parallel`), removing the
     single-device memory limit the reference's one-shot arbitrary-T run has.
     Arbitrary lengths are handled by pad-and-trim (see
-    ``make_sp_trajectory_fn(pad_incomplete=True)``).
+    ``make_sp_trajectory_fn(pad_incomplete=True)``); parity-sensitive
+    evaluations can pass ``sp_pad_incomplete=False`` to demand
+    ``T % n_shards == 0`` (the padded tail's conv context sees repeated
+    frames, so the final ``num_levels*(kernel_size-1)//2`` velocities are
+    not bit-comparable to an unsharded run).
     """
 
     def __init__(self, model: TrajectoryModel, params, mean_std: np.ndarray,
-                 sp_mesh=None, sp_axis: str = "data"):
+                 sp_mesh=None, sp_axis: str = "data",
+                 sp_pad_incomplete: bool = True):
         self.model = model
         self.params = params
         self.mean = jnp.asarray(mean_std[0])
@@ -143,7 +148,7 @@ class TrajectoryRunner:
 
             self._sp = make_sp_trajectory_fn(
                 model, params, mean_std, sp_mesh, sp_axis,
-                pad_incomplete=True)
+                pad_incomplete=sp_pad_incomplete)
 
     def __call__(self, data: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """data: (B, T, 24, 6) rot6d or (B, T, 24, 3) positions.

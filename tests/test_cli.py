@@ -186,6 +186,18 @@ def test_eval_trajectory_cli(tmp_path):
     # same seed + divisible T -> the sharded run reproduces the unsharded one
     np.testing.assert_allclose(arr_sp, arr, rtol=2e-4, atol=2e-5)
 
+    # --sequence_parallel_strict: T=8 divides 2 shards, so strict mode runs
+    # and reproduces the same output (non-divisible T raises instead of
+    # silently pad-and-trimming; see test_sequence_parallel.py)
+    st_out = str(tmp_path / "strict")
+    main(["--config", vp, "--trajectory_config", tp,
+          "--output_path", st_out, "--num_samples", "2",
+          "--pred_trajectory_for_single_window", "--sequence_parallel", "2",
+          "--sequence_parallel_strict"])
+    arr_st = np.load(os.path.join(st_out, "eval_trajectory", "vae",
+                                  "sampled_single_window_0.npy"))
+    np.testing.assert_allclose(arr_st, arr, rtol=2e-4, atol=2e-5)
+
 
 def test_eval_completion_single_window_cli(tmp_path):
     """--final_motion_completion: the intended single-window API with random
@@ -348,3 +360,55 @@ def test_eval_reconstruction_cli(tmp_path):
     # reconstructed sequences are whole-window multiples of train_seq_len
     arr = np.load(os.path.join(out_dir, rots[0]))
     assert arr.shape[1:] == (24, 3, 3) and arr.shape[0] % 8 == 0
+
+    # --data_parallel 8: pure batched encode/decode shards over the virtual
+    # mesh's data axis; no optimizer loop, so metrics match tightly
+    main(["--config", cfg_path, "--output_path", str(tmp_path / "dp"),
+          "--test_model_rec", "--chunk", "4", "--data_parallel", "8"])
+    with open(tmp_path / "dp" / "eval_reconstruction" / "rec" /
+              "summary.json") as f:
+        s_dp = json.load(f)
+    for k in ("mpjpe", "pa_mpjpe", "accel_err"):
+        np.testing.assert_allclose(s_dp[k], summary[k], rtol=1e-4,
+                                   err_msg=k)
+
+
+def test_eval_recovery_cli_data_parallel_matches_single(tmp_path):
+    """--data_parallel 8 on the virtual CPU mesh: the eval CLI's summary
+    metrics match the single-device run (windows are independent solves; the
+    low opt_it keeps chaotic amplification of per-shard codegen noise below
+    measurement precision — see test_latent_opt.py's sharded-solve test)."""
+    import yaml
+
+    data_root = str(tmp_path / "data")
+    cfg = {
+        "model_name": "TwoHierSAVAEModel", "latent_d": 6, "shallow_latent_d": 6,
+        "kernel_size": 3, "train_seq_len": 8, "batch_size": 4,
+        "synthetic": True, "synthetic_num_seqs": 6, "data_root": data_root,
+        "opt_it": 4, "opt_lr": 0.1, "opt_step_size": 2, "prev_epochs": 2,
+        "interpolation_window": 3, "optimize_decoder": True,
+        "replace_frame_with_gt": True,
+    }
+    cfg_path = str(tmp_path / "interp.yaml")
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(cfg, f)
+
+    from hm_vae_tpu.cli.eval_recovery import main
+
+    main(["--config", cfg_path, "--output_path", str(tmp_path / "single"),
+          "--final_try_long_seq_interpolation", "--max_seqs", "2",
+          "--batch_across_seqs"])
+    main(["--config", cfg_path, "--output_path", str(tmp_path / "dp"),
+          "--final_try_long_seq_interpolation", "--max_seqs", "2",
+          "--batch_across_seqs", "--data_parallel", "8"])
+
+    def summary(d):
+        with open(tmp_path / d / "eval_long_seq_interpolation" / "interp" /
+                  "summary.json") as f:
+            return json.load(f)
+
+    s1, s2 = summary("single"), summary("dp")
+    assert set(s1) == set(s2)
+    for k in s1:
+        np.testing.assert_allclose(s2[k], s1[k], rtol=1e-3, atol=1e-6,
+                                   err_msg=k)

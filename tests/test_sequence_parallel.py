@@ -160,3 +160,21 @@ def test_sp_long_sequence_smoke():
     world, rv = sp(pose)
     assert world.shape == (1, 1024, 24, 3)
     assert np.isfinite(np.asarray(world)).all()
+
+
+def test_runner_strict_mode_rejects_non_divisible():
+    """sp_pad_incomplete=False (CLI --sequence_parallel_strict) demands
+    T % n_shards == 0 so parity-sensitive evals never silently accept the
+    documented pad-and-trim tail divergence (round-3 advisor item)."""
+    from hm_vae_tpu.models.trajectory import TrajectoryRunner
+
+    model, params, ms = _setup()
+    mesh = sh.make_mesh(8, model_parallel=1)
+    runner = TrajectoryRunner(model, params, ms, sp_mesh=mesh,
+                              sp_pad_incomplete=False)
+    with pytest.raises(ValueError, match="divisible"):
+        runner(jnp.zeros((1, 60, 24, 3)))
+    # divisible lengths still run
+    world, rv = runner(jnp.asarray(
+        np.random.default_rng(7).normal(size=(1, 64, 24, 3)), jnp.float32))
+    assert world.shape == (1, 64, 24, 3) and rv.shape == (1, 64, 3)
