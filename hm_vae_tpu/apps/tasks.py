@@ -79,14 +79,33 @@ class LatentOptApps:
     """Bound (model, params) application runner."""
 
     def __init__(self, model: HMVAE, params, cfg: Config,
-                 trajectory: Optional[tuple] = None):
+                 trajectory: Optional[tuple] = None,
+                 mesh=None, data_axis: str = "data"):
         """trajectory: optional (traj_model, traj_params, mean_std) enabling
         the in-loop keyframe trajectory loss for interpolation when
-        cfg.latent_opt.optimize_trajectory is set."""
+        cfg.latent_opt.optimize_trajectory is set.
+
+        mesh: optional :class:`jax.sharding.Mesh` — every batched solve's
+        window batch is sharded over ``mesh[data_axis]`` (windows are
+        independent solves, so the 150-step inner optimization scales
+        embarrassingly data-parallel under GSPMD; the multichip dryrun
+        asserts sharded == unsharded).  Batches not divisible by the axis
+        size are padded by cycling real windows (padded outputs discarded).
+        """
         self.model = model
         self.params = params
         self.cfg = cfg
         self.W = cfg.model.train_seq_len
+        self._bsh = None
+        self._n_data = 1
+        if mesh is not None and mesh.shape[data_axis] > 1:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            self._n_data = mesh.shape[data_axis]
+            self._bsh = NamedSharding(mesh, P(data_axis))
+            # params replicate across the data axis (one device_put here,
+            # reused by every solve)
+            self.params = jax.device_put(params, NamedSharding(mesh, P()))
         self.solve = make_latent_optimizer(model, cfg)
         # completion phase-switches later than the other tasks
         # (prev_epochs 100 vs 50, seq_two_hier_sa_vae.py:1731 vs :1206/:1403)
@@ -104,6 +123,42 @@ class LatentOptApps:
                 self.W, cfg.latent_opt.interpolation_window))[0])
             self._traj_solve = make_latent_optimizer(
                 model, cfg, trajectory=trajectory, key_frames=key)
+
+    # ------------------------------------------------------------------
+    def _dispatch(self, solve, targets, mask, z_init, z_reg
+                  ) -> LatentOptResult:
+        """Run one batched solve; with a mesh, shard the window batch over
+        the data axis (GSPMD inserts the collectives; windows are
+        independent so sharded == unsharded, asserted by the dryrun).
+
+        Batches not divisible by the axis size pad by cycling real windows
+        (np.resize-style, the same policy as :meth:`interpolate_many`'s
+        compile-stabilising pad) and the padded rows are trimmed from the
+        result.  ``loss_history`` stays the PADDED batch mean in that case —
+        it is a convergence diagnostic, not a metric.
+        """
+        if self._bsh is None:
+            return solve(self.params, targets, mask, z_init, z_reg)
+        n = self._n_data
+        B = int(mask.shape[0])
+        B_pad = -(-B // n) * n
+
+        def put(x):
+            if B_pad > B:
+                x = np.asarray(x)
+                x = np.concatenate([x, x[np.arange(B_pad - B) % B]])
+            return jax.device_put(x, self._bsh)
+
+        res = solve(self.params, {k: put(v) for k, v in targets.items()},
+                    put(mask), [put(z) for z in z_init],
+                    [put(z) for z in z_reg])
+        if B_pad == B:
+            return res
+        return LatentOptResult(
+            last_6d=res.last_6d[:B], last_rotmat=res.last_rotmat[:B],
+            last_pose=res.last_pose[:B], best_6d=res.best_6d[:B],
+            best_rotmat=res.best_rotmat[:B], best_pose=res.best_pose[:B],
+            final_loss=res.final_loss[:B], loss_history=res.loss_history)
 
     # ------------------------------------------------------------------
     def interpolate(self, rotmat_seq: jnp.ndarray, rng: jax.Array,
@@ -148,11 +203,11 @@ class LatentOptApps:
             targets = dict(targets)
             rt = root_trans[: n_win * W].reshape(n_win, W, 3)
             targets["root_trans"] = (jnp.repeat(rt, R, axis=0) if R > 1 else rt)
-            res: LatentOptResult = self._traj_solve(
-                self.params, targets, mask, z_init, z_reg)
+            res: LatentOptResult = self._dispatch(
+                self._traj_solve, targets, mask, z_init, z_reg)
             targets.pop("root_trans")
         else:
-            res = self.solve(self.params, targets, mask, z_init, z_reg)
+            res = self._dispatch(self.solve, targets, mask, z_init, z_reg)
 
         if R > 1:
             # keep each window's best restart
@@ -228,7 +283,7 @@ class LatentOptApps:
 
         z_init = init_z(rng, self.cfg, B_pad)
         z_reg = jax.tree.map(jnp.zeros_like, z_init)
-        res = self.solve(self.params, targets, mask, z_init, z_reg)
+        res = self._dispatch(self.solve, targets, mask, z_init, z_reg)
 
         out6d, outrot, outpose = res.last_6d, res.last_rotmat, res.last_pose
         if lat.replace_frame_with_gt:
@@ -280,10 +335,11 @@ class LatentOptApps:
         if self._traj_solve is not None and root_trans is not None:
             targets = dict(targets)
             targets["root_trans"] = jnp.asarray(root_trans)
-            res = self._traj_solve(self.params, targets, mask, z_init, z_reg)
+            res = self._dispatch(self._traj_solve, targets, mask, z_init,
+                                 z_reg)
             targets.pop("root_trans")
         else:
-            res = self.solve(self.params, targets, mask, z_init, z_reg)
+            res = self._dispatch(self.solve, targets, mask, z_init, z_reg)
 
         out6d, outrot, outpose = res.last_6d, res.last_rotmat, res.last_pose
         if lat.replace_frame_with_gt:
@@ -315,7 +371,8 @@ class LatentOptApps:
 
         z_init = init_z(rng, self.cfg, B)
         z_reg = jax.tree.map(jnp.zeros_like, z_init)
-        res = self.solve_completion(self.params, targets, mask, z_init, z_reg)
+        res = self._dispatch(self.solve_completion, targets, mask, z_init,
+                             z_reg)
 
         out6d, outrot, outpose = res.last_6d, res.last_rotmat, res.last_pose
         if lat.replace_part_with_gt:
@@ -358,7 +415,8 @@ class LatentOptApps:
 
             z_init = init_z(jax.random.fold_in(rng, w_idx), self.cfg, 1)
             z_reg = jax.tree.map(jnp.zeros_like, z_init)
-            res = self.solve_completion(self.params, tgt, mask, z_init, z_reg)
+            res = self._dispatch(self.solve_completion, tgt, mask, z_init,
+                                 z_reg)
 
             out = {"rot_6d": res.last_6d, "rot_mat": res.last_rotmat,
                    "pose": res.last_pose}
@@ -432,7 +490,8 @@ class LatentOptApps:
 
             z_init = init_z(jax.random.fold_in(rng, w), self.cfg, B)
             z_reg = jax.tree.map(jnp.zeros_like, z_init)
-            res = self.solve_completion(self.params, tgt, maskj, z_init, z_reg)
+            res = self._dispatch(self.solve_completion, tgt, maskj, z_init,
+                                 z_reg)
 
             out = {"rot_6d": res.last_6d, "rot_mat": res.last_rotmat,
                    "pose": res.last_pose}
@@ -481,7 +540,7 @@ class LatentOptApps:
             # generation regularises z toward its random init
             # (seq_two_hier_sa_vae.py:1150-1154)
             z_reg = z_init
-            res = self.solve(self.params, tgt, mask, z_init, z_reg)
+            res = self._dispatch(self.solve, tgt, mask, z_init, z_reg)
             whole = {
                 "rot_6d": jnp.concatenate(
                     (whole["rot_6d"], res.last_6d[0, overlap:]), 0),
@@ -524,7 +583,7 @@ class LatentOptApps:
             }
             z_init = init_z(jax.random.fold_in(rng, w), self.cfg, B)
             z_reg = z_init  # regularised toward init, as in generate()
-            res = self.solve(self.params, tgt, mask, z_init, z_reg)
+            res = self._dispatch(self.solve, tgt, mask, z_init, z_reg)
             out = {"rot_6d": res.last_6d, "rot_mat": res.last_rotmat,
                    "pose": res.last_pose}
             whole = {

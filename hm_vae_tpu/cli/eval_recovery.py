@@ -79,6 +79,12 @@ def main(argv=None):
     p.add_argument("--final_motion_completion", action="store_true")
     p.add_argument("--try_interpolation_w_trajectory_single_window",
                    action="store_true")
+    p.add_argument("--data_parallel", type=int, default=1,
+                   help="shard each batched latent-opt solve's window batch "
+                        "over N devices (GSPMD data parallelism; windows are "
+                        "independent solves).  Chunks are padded to a "
+                        "multiple of N by cycling real windows, so summary "
+                        "metrics are identical to a single-device run")
     p.add_argument("--test_model_rec", action="store_true",
                    help="posterior-mean reconstruction quality over the test "
                         "split (MPJPE / PA-MPJPE / accel error) — the "
@@ -187,13 +193,19 @@ def main(argv=None):
     n_eval = len(eval_ds) if args.max_seqs < 0 else min(args.max_seqs,
                                                         len(eval_ds))
 
+    mesh = None
+    if args.data_parallel > 1:
+        from ..parallel import sharding as sh
+
+        mesh = sh.make_mesh(args.data_parallel, model_parallel=1)
+
     if task == "reconstruction":
         # no latent optimization involved — don't build the solver at all
         from ..apps.inference import VAEInference
 
         infer = VAEInference(trainer.model, trainer.state.params, cfg)
         _run_reconstruction(args, infer, eval_ds, n_eval, W, traj_runner,
-                            output_dir)
+                            output_dir, mesh=mesh)
         return
 
     if task == "interpolation_sw":
@@ -206,9 +218,10 @@ def main(argv=None):
                 cfg.latent_opt, optimize_trajectory=True,
                 reg_w_trajectory=cfg.latent_opt.reg_w_trajectory or 1.0))
         apps = LatentOptApps(trainer.model, trainer.state.params, cfg_sw,
-                             trajectory=traj_tuple)
+                             trajectory=traj_tuple, mesh=mesh)
     else:
-        apps = LatentOptApps(trainer.model, trainer.state.params, cfg)
+        apps = LatentOptApps(trainer.model, trainer.state.params, cfg,
+                             mesh=mesh)
 
     if task in ("completion_sw", "interpolation_sw"):
         _run_single_window(args, task, apps, eval_ds, n_eval, W, rng,
@@ -332,7 +345,7 @@ def _write_summary(results, output_dir):
 
 
 def _run_reconstruction(args, infer, eval_ds, n_eval, W, traj_runner,
-                        output_dir):
+                        output_dir, mesh=None):
     """Posterior-mean reconstruction over the test split — the reference's
     intended ``test_model_rec`` surface (``trainer_motion_vae.py:160-161``),
     implemented as ONE batched encode/decode per chunk: every sequence is cut
@@ -344,11 +357,20 @@ def _run_reconstruction(args, infer, eval_ds, n_eval, W, traj_runner,
     GT FK.
     No latent optimization is involved, so this is the cheapest quality row:
     it isolates pure VAE reconstruction from solver effects."""
+    import jax
     import jax.numpy as jnp
 
     from ..apps.metrics import accel_error, mpjpe, pa_mpjpe
     from ..ops import fk as fk_mod
     from ..ops import rotations as rot
+
+    # --data_parallel: the fixed-size window batches shard over the mesh's
+    # data axis (pure batched encode/decode — embarrassingly parallel)
+    bsh = None
+    if mesh is not None and mesh.shape["data"] > 1:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        bsh = NamedSharding(mesh, P("data"))
 
     results = []
     for chunk in _chunked(_iter_eligible(eval_ds, n_eval, W), args.chunk):
@@ -368,6 +390,8 @@ def _run_reconstruction(args, infer, eval_ds, n_eval, W, traj_runner,
                 part = np.concatenate(
                     [part, part[np.arange(REC_BS - nb) % nb]])
             six = rot.rotmat_to_rot6d(jnp.asarray(part))
+            if bsh is not None:
+                six = jax.device_put(six, bsh)
             r6, rm, rp = infer.mean_reconstruction(six)
             parts6.append(np.asarray(r6)[:nb])
             parts_rm.append(np.asarray(rm)[:nb])

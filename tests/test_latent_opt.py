@@ -503,3 +503,61 @@ def test_finetune_scope_rejects_unknown():
     z = init_z(jax.random.PRNGKey(8), cfg, 1)
     with pytest.raises(ValueError, match="finetune_scope"):
         solve(params, targets, mask, z, jax.tree.map(jnp.zeros_like, z))
+
+
+def test_mesh_sharded_solve_matches_unsharded():
+    """LatentOptApps(mesh=...): the window batch shards over the data axis
+    under GSPMD and reproduces the single-device result (windows are
+    independent solves).  A 3-window sequence exercises the pad-by-cycling
+    path (3 -> 8 over 8 devices); a 2-sequence interpolate_many exercises
+    the divisible path (its own pad_to_multiple=8).
+
+    Tolerances are tight because the config runs FEW optimizer steps: the
+    sharded and unsharded programs are semantically identical but compile to
+    different instruction orders, and the iterative solve amplifies that
+    last-ulp noise chaotically (measured: 4e-7 after 2 steps, 7e-4 after 8,
+    1e-1 after 30 — the same chaos floor the reference exhibits under its
+    own 1-ulp self-perturbation, PARITY.md).  Quality-level equality at the
+    production step count is covered by the full-split A/B in BASELINE.md.
+    """
+    import dataclasses
+
+    from hm_vae_tpu.parallel import sharding as sh
+
+    cfg = dataclasses.replace(CFG, latent_opt=dataclasses.replace(
+        CFG.latent_opt, opt_it=2, prev_epochs=1, opt_step_size=1))
+    model, params = _model_and_params()
+    ref = LatentOptApps(model, params, cfg)
+    mesh = sh.make_mesh(8, model_parallel=1)
+    dp = LatentOptApps(model, params, cfg, mesh=mesh)
+    assert dp._bsh is not None and dp._n_data == 8
+
+    seq = _rand_rotmat_seq(jax.random.PRNGKey(3), 26)  # 3 windows of 8
+    out_ref = ref.interpolate(seq, jax.random.PRNGKey(4))
+    out_dp = dp.interpolate(seq, jax.random.PRNGKey(4))
+    for k in ("rot_6d", "rot_mat", "pose"):
+        np.testing.assert_allclose(np.asarray(out_dp[k]),
+                                   np.asarray(out_ref[k]),
+                                   rtol=1e-5, atol=1e-5)
+
+    seqs = [_rand_rotmat_seq(jax.random.PRNGKey(11), 16),
+            _rand_rotmat_seq(jax.random.PRNGKey(12), 24)]
+    many_ref = ref.interpolate_many(seqs, jax.random.PRNGKey(13),
+                                    pad_to_multiple=8)
+    many_dp = dp.interpolate_many(seqs, jax.random.PRNGKey(13),
+                                  pad_to_multiple=8)
+    for r, d in zip(many_ref, many_dp):
+        np.testing.assert_allclose(np.asarray(d["pose"]),
+                                   np.asarray(r["pose"]),
+                                   rtol=1e-5, atol=1e-5)
+
+    # the solve really dispatched over all 8 devices
+    from hm_vae_tpu.apps.tasks import _targets_from_rotmat
+
+    tgt = _targets_from_rotmat(_rand_rotmat_seq(
+        jax.random.PRNGKey(14), 8)[None].repeat(8, axis=0))
+    mask = jnp.ones((8, 8, 24))
+    z = init_z(jax.random.PRNGKey(15), cfg, 8)
+    res = dp._dispatch(dp.solve, tgt, mask, z,
+                       jax.tree.map(jnp.zeros_like, z))
+    assert len(res.last_6d.sharding.device_set) == 8
