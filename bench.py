@@ -308,15 +308,14 @@ def main(batch_size: int = 8, steps_per_call: int = 32, calls: int = 30,
     if platform == "cpu" or cpu_fallback:
         # CPU executables must NOT share a persistent cache dir across
         # hosts: stale /tmp caches from a previous machine corrupt CPU
-        # numerics (the tests/conftest.py issue), so key the dir by cpuinfo
-        import hashlib
+        # numerics (the tests/conftest.py issue).  cpu_cache_key hashes
+        # model name + stepping + flags — stable across boots of the same
+        # host (hashing all of cpuinfo keyed on volatile cpu-MHz lines and
+        # never hit), distinct across machine types (flags alone collide on
+        # XLA's model-derived +prefer-no-* pseudo-features)
+        from hm_vae_tpu.utils.hostkey import cpu_cache_key
 
-        try:
-            with open("/proc/cpuinfo", "rb") as f:
-                cpu_key = hashlib.sha1(f.read()).hexdigest()[:12]
-        except OSError:
-            cpu_key = "nocpuinfo"
-        cache_dir = f"/tmp/jax_cache_bench_cpu_{cpu_key}"
+        cache_dir = f"/tmp/jax_cache_bench_cpu_{cpu_cache_key()}"
     else:
         # persistent compile cache: the big executables (K-step scan, e2e
         # trainer, both solver variants) cost minutes each through the relay

@@ -27,18 +27,15 @@ jax.config.update("jax_enable_x64", False)
 # here as a train-descent test failing only under the cache after the
 # container migrated hosts.
 def _cpu_cache_dir():
-    import hashlib
-    try:
-        with open("/proc/cpuinfo") as f:
-            for line in f:
-                if line.startswith("flags"):
-                    key = hashlib.sha1(line.encode()).hexdigest()[:12]
-                    break
-            else:
-                key = "generic"
-    except OSError:
-        key = "generic"
-    return f"/tmp/jax_cache_tests_{key}"
+    # Key by model name + stepping + flags, not flags alone: XLA:CPU also
+    # bakes model-derived pseudo-features (+prefer-no-scatter/-gather on
+    # some Xeons) into its AOT results, so two hosts with identical flags
+    # lines can still produce mutually-poisonous caches (observed as
+    # cpu_aot_loader "machine feature not supported on the host" warnings
+    # from a same-flags predecessor host).
+    from hm_vae_tpu.utils.hostkey import cpu_cache_key
+
+    return f"/tmp/jax_cache_tests_{cpu_cache_key()}"
 
 
 jax.config.update("jax_compilation_cache_dir", _cpu_cache_dir())
