@@ -17,3 +17,9 @@ def apply_platform_env() -> None:
         import jax
 
         jax.config.update("jax_platforms", p)
+
+    # multi-host: HMVAE_DIST=1 wires this process into a pod-wide runtime
+    # (must happen before the first backend touch, hence here)
+    from ..parallel.multihost import maybe_initialize_distributed
+
+    maybe_initialize_distributed()

@@ -334,7 +334,15 @@ def make_loaders(cfg: Config, data_dir: Optional[str] = None):
             random_root_rot=host_aug, seed=seed,
         )
 
-    train = mk("train", cfg.run.seed)
+    # multi-host: each process's TRAIN sampler draws from a disjoint stream
+    # (windows are sampled iid, so distinct per-process seeds ARE the data
+    # partition); val/test keep the base seeds so every process enumerates
+    # identical ordered eval windows (the trainer row-shards them).
+    # Identity single-process.
+    from ..parallel.multihost import process_seed
+
+    train_seed = process_seed(cfg.run.seed)
+    train = mk("train", train_seed)
     if cfg.data.use_native_loader and not host_aug:
         try:
             from .native_loader import NativeMotionLoader
@@ -342,7 +350,7 @@ def make_loaders(cfg: Config, data_dir: Optional[str] = None):
             native = NativeMotionLoader(
                 seq_dir, _index_path("train"), mean_std,
                 cfg.model.train_seq_len, fps_aug=cfg.data.fps_aug_flag,
-                seed=cfg.run.seed,
+                seed=train_seed,
             )
             native.mean, native.std = train.mean, train.std
             train = native

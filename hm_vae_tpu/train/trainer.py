@@ -26,9 +26,10 @@ import optax
 from ..data.dataset import MotionDataset, PrefetchIterator, make_loaders
 from ..models.hm_vae import HMVAE, dense_kernel_init
 from ..models.trajectory import TrajectoryModel, trajectory_losses
+from ..parallel import multihost as mh
 from ..parallel import sharding as sh
 from ..utils.config import Config
-from ..utils.logging import MetricWriter, make_result_folders
+from ..utils.logging import MetricWriter, NullMetricWriter, make_result_folders
 from .losses import hmvae_forward
 from .optim import make_optimizer
 from .train_step import TrainState
@@ -51,7 +52,10 @@ class Trainer:
                               cfg.run.matmul_precision)
         self.output_dir = output_dir
         self.ckpt_dir, self.image_dir = make_result_folders(output_dir)
-        self.writer = MetricWriter(os.path.join(output_dir, "logs"))
+        # multi-host: only process 0 writes metrics/checkpoints/animations
+        # (they are replicated — the loss is a global-batch mean under GSPMD)
+        self.writer = (MetricWriter(os.path.join(output_dir, "logs"))
+                       if mh.is_primary() else NullMetricWriter())
         self._save_thread = None   # in-flight async checkpoint writer
         self._save_error = None
         self._snapshot_fn = None
@@ -207,6 +211,7 @@ class Trainer:
             self._ingest_multi = jax.jit(ingest_aug, out_shardings=multi_bsh)
             self._ingest_single = jax.jit(ingest_aug, out_shardings=bsh)
         self._augment = aug
+        self._bsh_single, self._bsh_multi = bsh, multi_bsh
         self._wire_dtype = (np.float16 if self.cfg.data.transfer_dtype ==
                             "float16" else np.float32)
 
@@ -217,17 +222,29 @@ class Trainer:
 
         self._to_wire = to_wire
 
+    def _to_global(self, t, multi: bool):
+        """Multi-host: each process loaded only its local batch rows —
+        assemble them into global jax.Arrays before the jitted ingest
+        (host numpy into a pod-spanning jit is not addressable).
+        Single-process this is the identity (the jit does the transfer)."""
+        if jax.process_count() == 1:
+            return t
+        return mh.make_global_batch(
+            t, self._bsh_multi if multi else self._bsh_single)
+
     # the aug stream is keyed by the TRAINING STEP at which the batch is
     # consumed (checkpointed state), not a process-local call counter: a
     # preempted-and-resumed run therefore replays the exact augmentation
     # stream of an uninterrupted one
     def _ingest_m(self, t, step: int):
+        t = self._to_global(t, True)
         if self._augment is None:
             return self._ingest_multi(t)
         return self._ingest_multi(
             t, jax.random.fold_in(self._aug_rng, step))
 
     def _ingest_s(self, t, step: int):
+        t = self._to_global(t, False)
         if self._augment is None:
             return self._ingest_single(t)
         return self._ingest_single(
@@ -239,8 +256,20 @@ class Trainer:
         assert ocp is not None, "orbax unavailable"
         step = int(self.state.step) if step is None else step
         path = os.path.join(os.path.abspath(self.ckpt_dir), f"gen_{step:08d}")
+        # multi-host: EVERY process runs the device-side part (the snapshot
+        # jit is a pod-wide SPMD launch — gating it to process 0 stalls its
+        # collective context forever, observed as a Gloo DEADLINE_EXCEEDED
+        # in the 2-process e2e test; skipping it would also desynchronise
+        # the collective launch order across processes), but only process 0
+        # performs the HOST write: state replicates over the data axis, so
+        # its addressable shards are the complete state (shared-fs resume
+        # assumption documented in docs/ARCHITECTURE.md).  State sharded
+        # ACROSS hosts (model parallelism spanning processes) would need
+        # orbax's multihost checkpointing — out of scope at this model's
+        # size (the model axis fits inside one host's chips).
         if not self.cfg.run.async_checkpoint:
-            self._write_checkpoint(path, self.state)
+            if mh.is_primary():
+                self._write_checkpoint(path, self.state)
             return path
         # async: the train loop's multi-step dispatch DONATES the state
         # buffers, so a background writer cannot hold references to
@@ -256,6 +285,9 @@ class Trainer:
             self._snapshot_fn = jax.jit(
                 lambda s: jax.tree.map(jnp.copy, s))
         snap = self._snapshot_fn(self.state)
+        if not mh.is_primary():
+            jax.block_until_ready(snap)  # keep launch cadence with process 0
+            return path
 
         def write():
             try:
@@ -268,10 +300,45 @@ class Trainer:
         t.start()
         return path
 
+    @staticmethod
+    def _primary_checkpointer():
+        """StandardCheckpointer whose coordination set is {process 0}: in a
+        multi-host run only process 0 calls save (the state is replicated),
+        and orbax's default barriers would block on the processes that never
+        joined (observed: Gloo DEADLINE_EXCEEDED in the 2-process e2e
+        test)."""
+        if jax.process_count() == 1:
+            return ocp.StandardCheckpointer()
+        mpo = ocp.options.MultiprocessingOptions(
+            primary_host=0, active_processes={0})
+        return ocp.Checkpointer(
+            ocp.StandardCheckpointHandler(multiprocessing_options=mpo),
+            multiprocessing_options=mpo)
+
+    @staticmethod
+    def _to_host(state):
+        """Device state -> host numpy WITHOUT collectives: np.asarray on a
+        pod-spanning array goes through a process_allgather (a collective
+        launch every process would have to join); a REPLICATED array's
+        local shard already is the whole array."""
+        def one(x):
+            if isinstance(x, jax.Array) and not x.is_fully_addressable:
+                if not x.is_fully_replicated:
+                    raise ValueError(
+                        "checkpointing state sharded across hosts requires "
+                        "orbax multihost checkpointing (all-process save); "
+                        "this build writes from process 0 only and expects "
+                        "replicated state")
+                return np.asarray(x.addressable_data(0))
+            return np.asarray(x)
+
+        return jax.tree.map(one, state)
+
     def _write_checkpoint(self, path: str, state) -> None:
-        ckptr = ocp.StandardCheckpointer()
-        ckptr.save(path, jax.tree.map(np.asarray, state), force=True)
-        ckptr.wait_until_finished()
+        ckptr = self._primary_checkpointer()
+        ckptr.save(path, self._to_host(state), force=True)
+        if hasattr(ckptr, "wait_until_finished"):  # sync Checkpointer lacks it
+            ckptr.wait_until_finished()
         keep = self.cfg.run.keep_checkpoints
         if keep > 0:
             for stale in self._checkpoint_names()[:-keep]:
@@ -323,8 +390,11 @@ class Trainer:
         if path is None:
             return 0
         path = os.path.abspath(path)  # orbax rejects relative paths
+        # restore is SYMMETRIC in multi-host: every process reads the same
+        # checkpoint from the shared fs (default orbax barriers are fine —
+        # all processes participate), then places its local shards
         ckptr = ocp.StandardCheckpointer()
-        target = jax.tree.map(np.asarray, self.state)
+        target = self._to_host(self.state)
         try:
             restored = ckptr.restore(path, target)
         except FileNotFoundError:
@@ -393,7 +463,11 @@ class Trainer:
         if self._step_fn is None:
             self._build_steps()
         max_iter = max_iter if max_iter is not None else cfg.optim.max_iter
+        # optim.batch_size is GLOBAL at any scale (loss curves stay
+        # comparable); multi-host, each process's loader draws its share and
+        # _to_global stitches the shares into the pod-wide batch
         bs = cfg.optim.batch_size
+        bs_local = mh.local_batch_size(bs)
         rng = jax.random.PRNGKey(cfg.run.seed + 17)
 
         K = max(1, cfg.run.steps_per_call)
@@ -405,16 +479,16 @@ class Trainer:
         wire = cfg.data.wire_format
         if native_super and compact:
             it = train_ds.iter_compact_superbatches(
-                K, bs, need_root_v=need_root_v,
+                K, bs_local, need_root_v=need_root_v,
                 threads=cfg.data.native_threads, wire=wire)
         elif native_super:
             it = train_ds.iter_superbatches(
-                K, bs, threads=cfg.data.native_threads)
+                K, bs_local, threads=cfg.data.native_threads)
         elif compact:
-            it = _compact_single_iter(train_ds, bs, need_root_v,
+            it = _compact_single_iter(train_ds, bs_local, need_root_v,
                                       cfg.data.native_threads, wire)
         else:
-            it = PrefetchIterator(train_ds.iter_batches(bs),
+            it = PrefetchIterator(train_ds.iter_batches(bs_local),
                                   depth=cfg.data.num_prefetch)
         metrics = {}
         start = int(self.state.step)
@@ -539,10 +613,17 @@ class Trainer:
                 if val_ds is not None and crossed(cfg.run.validation_iter):
                     # deterministic ordered validation pass (<=50 batches,
                     # train_motion_vae.py:98-110): identical windows every
-                    # pass and every run, so val curves are run-comparable
+                    # pass and every run, so val curves are run-comparable.
+                    # Multi-host: every process enumerates the SAME ordered
+                    # batches (same seed) and contributes its contiguous row
+                    # share — the global batch is identical to single-host
                     vals = []
+                    v0, v1 = mh.process_shard(bs)
                     for vi, vb in enumerate(val_ds.ordered_batches(
                             bs, max_batches=50, seed=cfg.run.seed)):
+                        if jax.process_count() > 1:
+                            vb = jax.tree.map(lambda x: x[v0:v1], vb)
+                            vb = self._to_global(vb, False)
                         vm = self._eval_fn(self.state, vb,
                                            jax.random.fold_in(rng, 10_000_000 + vi))
                         vals.append({k: float(v) for k, v in vm.items()})
@@ -554,7 +635,8 @@ class Trainer:
                 if crossed(cfg.run.snapshot_save_iter):
                     self.save(i)
 
-                if (test_ds is not None and not isinstance(self.model, TrajectoryModel)
+                if (test_ds is not None and mh.is_primary()
+                        and not isinstance(self.model, TrajectoryModel)
                         and crossed(cfg.run.image_save_iter)):
                     self._save_visualizations(test_ds, i, rng)
         finally:

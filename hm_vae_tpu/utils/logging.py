@@ -45,6 +45,18 @@ class MetricWriter:
             self._tb.close()
 
 
+class NullMetricWriter:
+    """No-op writer for non-primary processes in multi-host runs: metrics
+    are replicated across processes (the loss is a global-batch mean under
+    GSPMD), so only process 0 writes them."""
+
+    def write(self, step, metrics, prefix: str = "") -> None:
+        pass
+
+    def close(self) -> None:
+        pass
+
+
 def make_result_folders(output_directory: str):
     """checkpoints/ + images/ under the run dir (utils_common.py:127-136)."""
     image_directory = os.path.join(output_directory, "images")
