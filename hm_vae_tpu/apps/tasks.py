@@ -98,6 +98,7 @@ class LatentOptApps:
         self.W = cfg.model.train_seq_len
         self._bsh = None
         self._n_data = 1
+        self._replicate = None
         if mesh is not None and mesh.shape[data_axis] > 1:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -142,16 +143,37 @@ class LatentOptApps:
         n = self._n_data
         B = int(mask.shape[0])
         B_pad = -(-B // n) * n
+        pc = jax.process_count()
 
         def put(x):
             if B_pad > B:
                 x = np.asarray(x)
                 x = np.concatenate([x, x[np.arange(B_pad - B) % B]])
-            return jax.device_put(x, self._bsh)
+            if pc == 1:
+                return jax.device_put(x, self._bsh)
+            # multi-host: every process computes the identical padded batch
+            # (same eval data, same rng) and contributes its contiguous row
+            # share — a plain device_put of host data onto a pod-spanning
+            # sharding is not addressable
+            x = np.asarray(x)
+            rpp = B_pad // pc
+            i = jax.process_index()
+            return jax.make_array_from_process_local_data(
+                self._bsh, x[i * rpp:(i + 1) * rpp])
 
         res = solve(self.params, {k: put(v) for k, v in targets.items()},
                     put(mask), [put(z) for z in z_init],
                     [put(z) for z in z_reg])
+        if pc > 1:
+            # replicate outputs so the host-side stitching (np.asarray in
+            # every task method) reads locally on every process; the gather
+            # is a symmetric collective launched by all processes
+            if self._replicate is None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                rep = NamedSharding(self._bsh.mesh, P())
+                self._replicate = jax.jit(lambda r: r, out_shardings=rep)
+            res = self._replicate(res)
         if B_pad == B:
             return res
         return LatentOptResult(

@@ -314,9 +314,14 @@ def _pad_chunk(chunk, size, ci):
 def _save_seq_outputs(name, rotmat, rot6d, pose, args, traj_runner,
                       output_dir):
     """Per-sequence artifacts: optimized rotations, predicted world-space
-    root trajectory (when a trajectory model is loaded), optional animation."""
+    root trajectory (when a trajectory model is loaded), optional animation.
+    Multi-host: process 0 only (shared fs; the compute above already ran
+    pod-wide — traj_runner here is a process-local jit)."""
+    from ..parallel.multihost import is_primary
     from ..utils.viz import save_animation
 
+    if not is_primary():
+        return
     np.save(os.path.join(output_dir, f"{name}_rot_opt_res.npy"), rotmat)
     if traj_runner is not None:
         world, _ = traj_runner(rot6d[None])
@@ -332,6 +337,8 @@ def _save_seq_outputs(name, rotmat, rot6d, pose, args, traj_runner,
 def _write_summary(results, output_dir):
     import json
 
+    from ..parallel.multihost import is_primary
+
     if not results:
         print("no test sequences long enough for one window")
         return
@@ -340,6 +347,8 @@ def _write_summary(results, output_dir):
                for k in keys}
     summary["num_seqs"] = len(results)
     print("summary:", summary)
+    if not is_primary():   # multi-host: metrics are identical; one writer
+        return
     with open(os.path.join(output_dir, "summary.json"), "w") as f:
         json.dump(summary, f, indent=2)
 

@@ -192,3 +192,78 @@ def test_two_process_distributed_training_e2e(tmp_path):
     for pid, (p, log) in enumerate(zip(procs, logs)):
         assert p.returncode == 0, f"resume process {pid} failed:\n{log[-3000:]}"
         assert "Resume from iteration 4" in log
+
+
+def test_two_process_distributed_eval_matches_single(tmp_path):
+    """Pod-scale flagship workload: eval_recovery --data_parallel over a
+    real two-process jax.distributed cluster — each process contributes its
+    window rows (make_array_from_process_local_data), the solve runs
+    GSPMD-sharded across both processes, outputs replicate back, and the
+    summary (written once, by process 0) is IDENTICAL to a single-process
+    run of the same config."""
+    import json
+    import socket
+    import subprocess
+    import sys
+
+    import yaml
+
+    from hm_vae_tpu.data import synthetic
+
+    data_dir = str(tmp_path / "data")
+    synthetic.generate_dataset(data_dir, num_seqs=6, seed=0)
+    cfg = {
+        "model_name": "TwoHierSAVAEModel", "latent_d": 6, "shallow_latent_d": 6,
+        "kernel_size": 3, "train_seq_len": 8, "batch_size": 4,
+        "synthetic": True, "data_root": data_dir,
+        "opt_it": 4, "opt_lr": 0.1, "opt_step_size": 2, "prev_epochs": 2,
+        "interpolation_window": 3, "optimize_decoder": True,
+        "replace_frame_with_gt": True,
+    }
+    cfg_path = str(tmp_path / "interp.yaml")
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(cfg, f)
+
+    # single-process reference (in-process: the conftest CPU backend)
+    from hm_vae_tpu.cli.eval_recovery import main
+
+    main(["--config", cfg_path, "--output_path", str(tmp_path / "single"),
+          "--final_try_long_seq_interpolation", "--max_seqs", "2",
+          "--batch_across_seqs"])
+    with open(tmp_path / "single" / "eval_long_seq_interpolation" /
+              "interp" / "summary.json") as f:
+        ref = json.load(f)
+
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+
+    def launch(pid):
+        env = dict(os.environ,
+                   HMVAE_DIST="1",
+                   JAX_COORDINATOR_ADDRESS=f"localhost:{port}",
+                   JAX_NUM_PROCESSES="2", JAX_PROCESS_ID=str(pid),
+                   HMVAE_PLATFORM="cpu",
+                   XLA_FLAGS="--xla_force_host_platform_device_count=2")
+        env.pop("JAX_PLATFORMS", None)
+        return subprocess.Popen(
+            [sys.executable, "-m", "hm_vae_tpu.cli.eval_recovery",
+             "--config", cfg_path, "--output_path", str(tmp_path / "pod"),
+             "--final_try_long_seq_interpolation", "--max_seqs", "2",
+             "--batch_across_seqs", "--data_parallel", "4"],
+            env=env, cwd=os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__))),
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
+
+    procs = [launch(0), launch(1)]
+    logs = [p.communicate(timeout=240)[0] for p in procs]
+    for pid, (p, log) in enumerate(zip(procs, logs)):
+        assert p.returncode == 0, f"process {pid} failed:\n{log[-3000:]}"
+    with open(tmp_path / "pod" / "eval_long_seq_interpolation" / "interp" /
+              "summary.json") as f:
+        pod = json.load(f)
+    # low opt_it keeps chaotic codegen-noise amplification below measurement
+    # precision (see test_latent_opt.py) — the pod summary matches tightly
+    assert set(pod) == set(ref)
+    for k in ref:
+        np.testing.assert_allclose(pod[k], ref[k], rtol=1e-4, err_msg=k)
