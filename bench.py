@@ -360,7 +360,8 @@ def main(batch_size: int = 8, steps_per_call: int = 32, calls: int = 30,
     # is ~0.5%, convergence-tested in tests/test_train_step.py).
     # Skipped on CPU fallback: each len-64 variant is a multi-minute 1-core
     # compile, and the fallback's only job is to emit a labelled line fast.
-    perf = single = None
+    perf = single = compact = compact_perf = None
+    compact_roofline = {}
     if not cpu_fallback:
         import dataclasses
 
@@ -372,6 +373,39 @@ def main(batch_size: int = 8, steps_per_call: int = 32, calls: int = 30,
                           donate_argnums=(0,))
         dtp, _ = _bench(mstep_p, state_p, batches, rng, calls, warmup, jax)
         perf = batch_size * steps_per_call * calls / dtp
+
+        # compact conv-weight layout (models/param_layout.py): mask-dead
+        # parameter rows cease to exist, cutting the Adam chain 52.5->41.4 MB
+        # and dropping the mask multiply — FUNCTION-EXACT vs the dense
+        # layout (outputs, live-entry gradients and Adam trajectories are
+        # identical; tests/test_param_layout.py), unlike the bf16-moment
+        # perf mode which trades ~0.5% update precision.
+        cfg_c = dataclasses.replace(
+            cfg, model=dataclasses.replace(cfg.model, param_layout="compact"))
+        model_c = HMVAE(cfg_c.model)
+        state_c = create_state(model_c, cfg_c, jax.random.PRNGKey(0))
+        mstep_c = jax.jit(make_multi_step(model_c, cfg_c),
+                          donate_argnums=(0,))
+        c_bytes, c_flops = _cost_per_step(
+            mstep_c, (state_c, batches, rng), steps_per_call, jax)
+        dtc, _ = _bench(mstep_c, state_c, batches, rng, calls, warmup, jax)
+        compact = batch_size * steps_per_call * calls / dtc
+        cr = _roofline_fields(c_bytes, c_flops,
+                              dtc / (steps_per_call * calls), device_kind)
+        compact_roofline = {
+            "compact_bytes_per_step": cr["bytes_per_step"],
+            "compact_achieved_gbps": cr["achieved_gbps"],
+            "compact_hbm_roofline_frac": cr["hbm_roofline_frac"],
+        }
+
+        # both perf modes composed: compact layout + bf16 Adam moments
+        cfg_cp = dataclasses.replace(
+            cfg_c, optim=OptimConfig(moment_dtype="bfloat16"))
+        state_cp = create_state(model_c, cfg_cp, jax.random.PRNGKey(0))
+        mstep_cp = jax.jit(make_multi_step(model_c, cfg_cp),
+                           donate_argnums=(0,))
+        dtcp, _ = _bench(mstep_cp, state_cp, batches, rng, calls, warmup, jax)
+        compact_perf = batch_size * steps_per_call * calls / dtcp
 
         # classic one-step-per-dispatch path (host-latency bound)
         state1 = create_state(model, cfg, jax.random.PRNGKey(0))
@@ -417,6 +451,11 @@ def main(batch_size: int = 8, steps_per_call: int = 32, calls: int = 30,
             round(single, 2) if single else None,
         "perf_mode_bf16_moments_seqs_per_sec":
             round(perf, 2) if perf else None,
+        "compact_layout_seqs_per_sec":
+            round(compact, 2) if compact else None,
+        "compact_layout_bf16_moments_seqs_per_sec":
+            round(compact_perf, 2) if compact_perf else None,
+        **compact_roofline,
         "steps_per_dispatch": steps_per_call,
         "measured_reference_cpu_seqs_per_sec": REFERENCE_CPU_SEQS_PER_SEC,
         "vs_reference_cpu": round(fused / REFERENCE_CPU_SEQS_PER_SEC, 1),

@@ -40,6 +40,7 @@ import numpy as np
 
 from ..ops import skeleton_nn as snn
 from ..utils.config import ModelConfig
+from . import param_layout as pl
 from .structure import ConvSpec, get_structure
 
 
@@ -53,6 +54,18 @@ def _skeleton_conv_weight_init(spec: ConvSpec):
     bounds = np.repeat(
         spec.block_bounds, spec.out_channels // spec.n_edges
     )[:, None, None]  # (C_out, 1, 1)
+
+    def init(key, shape, dtype=jnp.float32):
+        u = jax.random.uniform(key, shape, dtype, -1.0, 1.0)
+        return u * jnp.asarray(bounds, dtype)
+
+    return init
+
+
+def _skeleton_conv_compact_weight_init(spec: ConvSpec):
+    """Same distribution as :func:`_skeleton_conv_weight_init`, drawn only
+    for the mask-live (L, K) rows of the compact layout."""
+    bounds = pl.compact_meta(spec).row_bounds[:, None]  # (L, 1)
 
     def init(key, shape, dtype=jnp.float32):
         u = jax.random.uniform(key, shape, dtype, -1.0, 1.0)
@@ -125,14 +138,27 @@ class SkeletonConv(nn.Module):
     compute_dtype: str = "float32"
     pool_matrix: object = None      # (Q, C_out) — SkeletonPool after the conv
     unpool_matrix: object = None    # (C_in, P) — SkeletonUnpool before it
+    # "dense": (C_out, C_in, K) weight, mask applied at call time;
+    # "compact": only the mask-live (L, K) rows are stored and the dense
+    # weight is rebuilt by a constant gather (exact-zero dead entries, no
+    # mask multiply) — function-exact, ~21% less param HBM traffic on the
+    # len-64 flagship (models/param_layout.py)
+    param_layout: str = "dense"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         s = self.spec
-        w = self.param(
-            "weight", _skeleton_conv_weight_init(s),
-            (s.out_channels, s.in_channels, s.kernel_size),
-        )
+        compact = pl.is_compact_spec(s, self.param_layout)
+        if compact:
+            w = self.param(
+                "weight_c", _skeleton_conv_compact_weight_init(s),
+                (pl.compact_meta(s).n_live, s.kernel_size),
+            )
+        else:
+            w = self.param(
+                "weight", _skeleton_conv_weight_init(s),
+                (s.out_channels, s.in_channels, s.kernel_size),
+            )
         b = (
             self.param("bias", _skeleton_conv_bias_init(s), (s.out_channels,))
             if s.bias else None
@@ -143,8 +169,16 @@ class SkeletonConv(nn.Module):
             x = x.astype(jnp.bfloat16)
             w = w.astype(jnp.bfloat16)
             b = b.astype(jnp.bfloat16) if b is not None else None
-        mask = jnp.asarray(s.mask, w.dtype)
-        wm = w * mask[:, :, None]
+        if compact:
+            wm = pl.expander(s)(w)
+        elif s.mask.all():
+            # fully-dense level (deep cascade levels: a skeleton_dist-2
+            # neighbourhood spans the whole pooled graph) — the mask multiply
+            # would be an identity costing a full weight read+write
+            wm = w
+        else:
+            mask = jnp.asarray(s.mask, w.dtype)
+            wm = w * mask[:, :, None]
         if self.unpool_matrix is not None:
             U = jnp.asarray(self.unpool_matrix, wm.dtype)
             wm = jnp.einsum("ock,cp->opk", wm, U)
@@ -175,10 +209,12 @@ class Encoder(nn.Module):
             # activation between them (seq_two_hier_sa_vae.py:102-105)
             for e, espec in enumerate(lvl.extra_convs):
                 x = SkeletonConv(espec, self.cfg.compute_dtype,
+                                 param_layout=self.cfg.param_layout,
                                  name=f"conv_{i}_extra_{e}")(x)
             # SkeletonPool folded into the conv weight (exact linear-map fusion)
             x = SkeletonConv(lvl.conv, self.cfg.compute_dtype,
                              pool_matrix=lvl.pool_matrix,
+                             param_layout=self.cfg.param_layout,
                              name=f"conv_{i}")(x)
             x = snn.leaky_relu(x, 0.2)
             x = x.astype(jnp.float32)  # latent heads and stats stay f32
@@ -243,13 +279,16 @@ class Decoder(nn.Module):
                     x, jnp.asarray(lvl.unpool_matrix, x.dtype))
                 for e, espec in enumerate(lvl.extra_convs):
                     x = SkeletonConv(espec, self.cfg.compute_dtype,
+                                     param_layout=self.cfg.param_layout,
                                      name=f"conv_{i}_extra_{e}")(x)
                 x = SkeletonConv(lvl.conv, self.cfg.compute_dtype,
+                                 param_layout=self.cfg.param_layout,
                                  name=f"conv_{i}")(x)
             else:
                 # SkeletonUnpool folded into the conv weight
                 x = SkeletonConv(lvl.conv, self.cfg.compute_dtype,
                                  unpool_matrix=lvl.unpool_matrix,
+                                 param_layout=self.cfg.param_layout,
                                  name=f"conv_{i}")(x)
             if lvl.leaky:
                 x = snn.leaky_relu(x, 0.2)

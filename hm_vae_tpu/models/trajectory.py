@@ -44,6 +44,7 @@ class TrajectoryEncoder(nn.Module):
         st = get_trajectory_structure(self.cfg)
         for i, lvl in enumerate(st.levels):
             x = SkeletonConv(lvl.conv, self.cfg.compute_dtype,
+                             param_layout=self.cfg.param_layout,
                              name=f"conv_{i}")(x)
             x = snn.apply_channel_matrix(x, jnp.asarray(lvl.pool_matrix, x.dtype))
             x = snn.leaky_relu(x, 0.2)

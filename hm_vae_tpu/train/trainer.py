@@ -423,11 +423,43 @@ class Trainer:
         # partial restore: read ONLY the params subtree (placeholder leaves
         # carry structure, not values) — skipping the Adam moments halves the
         # checkpoint I/O on this host and tolerates any opt-state layout
-        skeleton = {"params": jax.tree.map(lambda _: 0, self.state.params)}
-        raw = ocp.PyTreeCheckpointer().restore(
-            os.path.abspath(path),
-            args=ocp.args.PyTreeRestore(item=skeleton, partial_restore=True))
-        params = jax.device_put(raw["params"], self.shardings.params)
+        from ..models.param_layout import convert_conv_params, tree_has_key
+        want = self.cfg.model.param_layout
+        # conv weight-layout detection: the checkpoint may use the OTHER
+        # param_layout (dense vs compact, models/param_layout.py) — the
+        # conversion is function-exact both ways, so e.g. a dense-trained
+        # gen_* checkpoint evaluates under a compact model config.  orbax's
+        # partial_restore silently leaves missing leaves as placeholders, so
+        # the layout must be read from the checkpoint METADATA up front.
+        ck_layout = want
+        try:
+            meta = ocp.PyTreeCheckpointer().metadata(
+                os.path.abspath(path)).item_metadata
+            ck_layout = ("compact" if tree_has_key(meta["params"], "weight_c")
+                         else "dense")
+        except Exception:
+            pass  # no metadata (old orbax) -> assume matching layout
+        if ck_layout == want:
+            skeleton = {"params": jax.tree.map(lambda _: 0, self.state.params)}
+            raw = ocp.PyTreeCheckpointer().restore(
+                os.path.abspath(path),
+                args=ocp.args.PyTreeRestore(item=skeleton,
+                                            partial_restore=True))
+            params = raw["params"]
+        else:
+            shapes = jax.tree.map(lambda x: np.zeros(x.shape, x.dtype),
+                                  self.state.params)
+            other_tree = convert_conv_params(shapes, self.cfg.model, ck_layout)
+            raw = ocp.PyTreeCheckpointer().restore(
+                os.path.abspath(path),
+                args=ocp.args.PyTreeRestore(
+                    item={"params": jax.tree.map(lambda _: 0, other_tree)},
+                    partial_restore=True))
+            logging.getLogger(__name__).info(
+                "load_params: converting checkpoint conv layout %s -> %s",
+                ck_layout, want)
+            params = convert_conv_params(raw["params"], self.cfg.model, want)
+        params = jax.device_put(params, self.shardings.params)
         self.state = self.state.replace(params=params)
 
     # ------------------------------------------------------------------

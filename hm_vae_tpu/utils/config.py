@@ -41,6 +41,13 @@ class ModelConfig:
     upsampling: str = "linear"
     train_seq_len: int = 64
     max_input_timesteps: int = 300
+    # conv weight storage: "dense" (reference layout — (C_out, C_in, K) with
+    # the neighbourhood mask applied at call time) or "compact" (only the
+    # mask-live rows are stored; function-exact, ~21% less parameter HBM
+    # traffic on the len-64 model — models/param_layout.py).  Checkpoints
+    # written under either layout load into either (trainer.load_params
+    # converts); torch import/export always speaks dense.
+    param_layout: str = "dense"
     # trajectory model only
     # "float32" | "bfloat16" conv compute (f32 master params either way)
     compute_dtype: str = "float32"

@@ -111,7 +111,11 @@ def import_hmvae_params(sd: Mapping[str, np.ndarray],
                                np.float32),
         }
 
-    return {"params": {"encoder": enc, "decoder": dec}}
+    params = {"encoder": enc, "decoder": dec}
+    if cfg.param_layout != "dense":
+        from ..models.param_layout import convert_conv_params
+        params = convert_conv_params(params, cfg, cfg.param_layout)
+    return {"params": params}
 
 
 def export_hmvae_params(variables: Mapping, cfg: ModelConfig
@@ -119,12 +123,16 @@ def export_hmvae_params(variables: Mapping, cfg: ModelConfig
     """Inverse mapping: flax variables -> reference-style state dict.
 
     Includes the constant mask/pool/unpool buffers so the emitted dict loads
-    into a reference-architecture torch model directly.
+    into a reference-architecture torch model directly.  Compact-layout
+    trees (``models/param_layout.py``) are densified first — mask-dead
+    entries export as exact zeros, which the reference's mask multiply makes
+    indistinguishable from any other value.
     """
     st = get_structure(cfg)
     nl = cfg.num_layers
     E = cfg.extra_conv
-    params = variables["params"]
+    from ..models.param_layout import convert_conv_params
+    params = convert_conv_params(dict(variables["params"]), cfg, "dense")
     sd: Dict[str, np.ndarray] = {}
     for i in range(nl):
         lvl = st.encoder_levels[i]
@@ -190,10 +198,14 @@ def import_trajectory_params(sd: Mapping[str, np.ndarray],
                 "bias": np.asarray(sd[f"enc.layers.{i}.0.bias"], np.float32)}
         _check_constant(sd, f"enc.layers.{i}.1.weight", lvl.pool_matrix)
         enc[f"conv_{i}"] = conv
-    return {"params": {
+    params = {
         "encoder": enc,
         "fc_mapping": {
             "kernel": np.asarray(sd["fc_mapping.weight"], np.float32).T,
             "bias": np.asarray(sd["fc_mapping.bias"], np.float32),
         },
-    }}
+    }
+    if cfg.param_layout != "dense":
+        from ..models.param_layout import convert_conv_params
+        params = convert_conv_params(params, cfg, cfg.param_layout)
+    return {"params": params}

@@ -1,0 +1,221 @@
+"""Compact conv-weight layout: function-exactness vs the dense layout.
+
+The compact layout (models/param_layout.py) stores only mask-live conv weight
+entries.  Everything the function can observe — outputs, gradients of live
+entries, Adam trajectories — must match the dense layout exactly; these tests
+pin that, plus the conversion round trips and the cross-layout checkpoint
+load path.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from hm_vae_tpu.models import param_layout as pl
+from hm_vae_tpu.models.hm_vae import HMVAE
+from hm_vae_tpu.models.structure import get_structure
+from hm_vae_tpu.train.losses import hmvae_forward
+from hm_vae_tpu.train.optim import make_optimizer
+from hm_vae_tpu.utils.config import Config, LossConfig, ModelConfig, OptimConfig
+
+CFG_D = ModelConfig(latent_d=6, shallow_latent_d=6, kernel_size=3,
+                    train_seq_len=8)
+CFG_C = dataclasses.replace(CFG_D, param_layout="compact")
+# flagship shapes exercise the mask.all() fast path on the deep levels
+FLAG_D = ModelConfig()
+FLAG_C = dataclasses.replace(FLAG_D, param_layout="compact")
+
+
+def _x(key, cfg, B=2):
+    return jax.random.normal(key, (B, cfg.train_seq_len, cfg.n_joints,
+                                   cfg.input_dim))
+
+
+def test_validate_layout_rejects_unknown():
+    with pytest.raises(ValueError):
+        pl.validate_layout("sparse")
+    with pytest.raises(ValueError):
+        HMVAE(dataclasses.replace(CFG_D, param_layout="bogus")).init(
+            jax.random.PRNGKey(0), _x(jax.random.PRNGKey(1), CFG_D))
+
+
+def test_compact_meta_counts():
+    st = get_structure(FLAG_D)
+    spec = st.encoder_levels[0].conv
+    meta = pl.compact_meta(spec)
+    assert meta.n_live == int(spec.mask.sum())
+    # deepest level is fully dense -> stays a plain dense "weight"
+    deep = st.encoder_levels[-1].conv
+    assert deep.mask.all() and not pl.is_compact_spec(deep, "compact")
+    assert pl.is_compact_spec(spec, "compact")
+
+
+def test_expand_contract_round_trip():
+    st = get_structure(FLAG_D)
+    spec = st.encoder_levels[0].conv
+    rng = np.random.RandomState(0)
+    w = rng.randn(spec.out_channels, spec.in_channels,
+                  spec.kernel_size).astype(np.float32)
+    wc = pl.compact_from_dense(w, spec)
+    dense = pl.dense_from_compact(wc, spec)
+    # live entries identical, dead entries exactly zero
+    mask = spec.mask.astype(bool)
+    np.testing.assert_array_equal(dense[mask], w[mask])
+    assert (dense[~mask] == 0).all()
+    # expander matches the numpy densify, and its VJP is the contract gather
+    ex = pl.expander(spec)
+    np.testing.assert_array_equal(np.asarray(ex(jnp.asarray(wc))), dense)
+    g = rng.randn(*dense.shape).astype(np.float32)
+    (gc,) = jax.vjp(ex, jnp.asarray(wc))[1](jnp.asarray(g))
+    np.testing.assert_array_equal(np.asarray(gc), g[mask])
+
+
+@pytest.mark.parametrize("cfg_d,cfg_c", [(CFG_D, CFG_C), (FLAG_D, FLAG_C)])
+def test_apply_bitwise_equal_across_layouts(cfg_d, cfg_c):
+    key = jax.random.PRNGKey(0)
+    model_d, model_c = HMVAE(cfg_d), HMVAE(cfg_c)
+    x = _x(jax.random.PRNGKey(1), cfg_d)
+    vars_d = model_d.init(key, x)
+    vars_c = pl.convert_conv_params(vars_d, cfg_d, "compact")
+    stats_d, out_d = model_d.apply(vars_d, x)
+    stats_c, out_c = model_c.apply(vars_c, x)
+    np.testing.assert_array_equal(np.asarray(out_d), np.asarray(out_c))
+    for a, b in zip(stats_d, stats_c):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_gradients_equal_at_live_entries():
+    cfg = Config(model=CFG_D, loss=LossConfig(iteration_interval=5))
+    cfg_c = dataclasses.replace(cfg, model=CFG_C)
+    model_d, model_c = HMVAE(CFG_D), HMVAE(CFG_C)
+    key = jax.random.PRNGKey(0)
+    x6d = _x(jax.random.PRNGKey(1), CFG_D)
+    from hm_vae_tpu.ops import rotations as rot
+
+    aa = jax.random.normal(jax.random.PRNGKey(2), (2, 8, 24, 3)) * 0.3
+    mats = rot.aa_to_rotmat(aa)
+    batch = {"rot_6d": rot.rotmat_to_rot6d(mats), "rot_mat": mats}
+    vars_d = model_d.init(key, x6d)
+    vars_c = pl.convert_conv_params(vars_d, CFG_D, "compact")
+    rng = jax.random.PRNGKey(3)
+
+    def loss_d(p):
+        return hmvae_forward(model_d, p, batch, rng, 0, cfg, sample=False)[0]
+
+    def loss_c(p):
+        return hmvae_forward(model_c, p, batch, rng, 0, cfg_c, sample=False)[0]
+
+    gd = jax.grad(loss_d)(vars_d)
+    gc = jax.grad(loss_c)(vars_c)
+    # compact grads == dense grads gathered at the live entries
+    gd_as_c = pl.convert_conv_params(
+        jax.tree.map(np.asarray, gd), CFG_D, "compact")
+    for top in ("encoder", "decoder"):
+        flat_c = jax.tree_util.tree_leaves_with_path(gc["params"][top])
+        flat_d = jax.tree_util.tree_leaves_with_path(gd_as_c["params"][top])
+        assert len(flat_c) == len(flat_d)
+        for (pc, lc), (pd, ld) in zip(flat_c, flat_d):
+            assert str(pc) == str(pd)
+            np.testing.assert_allclose(np.asarray(lc), np.asarray(ld),
+                                       atol=1e-6, rtol=1e-5,
+                                       err_msg=str(pc))
+
+
+def test_train_trajectory_identical():
+    """5 Adam steps: losses and live-entry params match the dense layout."""
+    cfg = Config(model=CFG_D, loss=LossConfig(iteration_interval=3),
+                 optim=OptimConfig(lr=1e-3, batch_size=2))
+    cfg_c = dataclasses.replace(cfg, model=CFG_C)
+    from hm_vae_tpu.ops import rotations as rot
+
+    aa = jax.random.normal(jax.random.PRNGKey(2), (2, 8, 24, 3)) * 0.3
+    mats = rot.aa_to_rotmat(aa)
+    batch = {"rot_6d": rot.rotmat_to_rot6d(mats), "rot_mat": mats}
+
+    def run(model, c, variables):
+        tx = make_optimizer(c.optim)
+        params = variables
+        opt = tx.init(params)
+        losses = []
+        for i in range(5):
+            def loss_fn(p):
+                return hmvae_forward(model, p, batch, jax.random.PRNGKey(9),
+                                     i, c, sample=False)[0]
+            l, g = jax.value_and_grad(loss_fn)(params)
+            upd, opt = tx.update(g, opt, params)
+            params = optax.apply_updates(params, upd)
+            losses.append(float(l))
+        return losses, params
+
+    v_d = HMVAE(CFG_D).init(jax.random.PRNGKey(0), _x(jax.random.PRNGKey(1),
+                                                      CFG_D))
+    v_c = pl.convert_conv_params(v_d, CFG_D, "compact")
+    losses_d, p_d = run(HMVAE(CFG_D), cfg, v_d)
+    losses_c, p_c = run(HMVAE(CFG_C), cfg_c, v_c)
+    np.testing.assert_allclose(losses_d, losses_c, rtol=1e-6)
+    p_d_as_c = pl.convert_conv_params(jax.tree.map(np.asarray, p_d),
+                                      CFG_D, "compact")
+    for (pa, la), (pb, lb) in zip(
+            jax.tree_util.tree_leaves_with_path(p_d_as_c),
+            jax.tree_util.tree_leaves_with_path(p_c)):
+        assert str(pa) == str(pb)
+        np.testing.assert_allclose(np.asarray(la), np.asarray(lb),
+                                   atol=2e-6, rtol=1e-5, err_msg=str(pa))
+
+
+def test_torch_round_trip_compact():
+    from hm_vae_tpu.utils.torch_import import (
+        export_hmvae_params, import_hmvae_params)
+
+    v_c = HMVAE(CFG_C).init(jax.random.PRNGKey(0),
+                            _x(jax.random.PRNGKey(1), CFG_C))
+    sd = export_hmvae_params(jax.tree.map(np.asarray, v_c), CFG_C)
+    back = import_hmvae_params(sd, CFG_C)
+    assert pl.params_layout(back) == "compact"
+    for (pa, la), (pb, lb) in zip(
+            jax.tree_util.tree_leaves_with_path(v_c),
+            jax.tree_util.tree_leaves_with_path(back)):
+        assert str(pa) == str(pb)
+        np.testing.assert_array_equal(np.asarray(la), np.asarray(lb),
+                                      err_msg=str(pa))
+
+
+def test_cross_layout_checkpoint_load(tmp_path):
+    """A dense-trained checkpoint loads into a compact-config Trainer (and
+    vice versa) through load_params' layout fallback."""
+    from hm_vae_tpu.train.trainer import Trainer
+
+    cfg = Config(model=CFG_D, optim=OptimConfig(batch_size=2),
+                 data=dataclasses.replace(
+                     Config().data, synthetic=True, synthetic_num_seqs=4))
+    out_d = tmp_path / "dense"
+    tr_d = Trainer(cfg, output_dir=str(out_d))
+    path = tr_d.save(step=7)
+
+    cfg_c = dataclasses.replace(cfg, model=CFG_C)
+    tr_c = Trainer(cfg_c, output_dir=str(tmp_path / "compact"))
+    tr_c.load_params(path)
+    want = pl.convert_conv_params(
+        jax.tree.map(np.asarray, tr_d.state.params), CFG_D, "compact")
+    for (pa, la), (pb, lb) in zip(
+            jax.tree_util.tree_leaves_with_path(want),
+            jax.tree_util.tree_leaves_with_path(tr_c.state.params)):
+        assert str(pa) == str(pb)
+        np.testing.assert_array_equal(np.asarray(la), np.asarray(lb),
+                                      err_msg=str(pa))
+
+    # and back: compact checkpoint -> dense trainer
+    path_c = tr_c.save(step=9)
+    tr_d2 = Trainer(cfg, output_dir=str(tmp_path / "dense2"))
+    tr_d2.load_params(path_c)
+    live = pl.convert_conv_params(
+        jax.tree.map(np.asarray, tr_d2.state.params), CFG_D, "compact")
+    for (pa, la), (pb, lb) in zip(
+            jax.tree_util.tree_leaves_with_path(live),
+            jax.tree_util.tree_leaves_with_path(tr_c.state.params)):
+        np.testing.assert_array_equal(np.asarray(la), np.asarray(lb),
+                                      err_msg=str(pa))
