@@ -114,7 +114,8 @@ def bench_end_to_end(batch: int = 64, K: int = 32, windows: int = 12,
 
 def bench_latent_opt(windows: int = 10, opt_it: int = 150,
                      per_window_decoder: bool = True,
-                     finetune_scope: str = "full") -> float:
+                     finetune_scope: str = "full",
+                     param_layout: str = "dense") -> float:
     """The flagship application: temporal interpolation by test-time latent
     optimization (150 Adam steps incl. decoder fine-tune after 50), all
     windows in one batched jitted solve.  Returns ms per solve (isolated
@@ -136,7 +137,7 @@ def bench_latent_opt(windows: int = 10, opt_it: int = 150,
 
     cfg = Config(
         model=ModelConfig(latent_d=24, shallow_latent_d=12, kernel_size=15,
-                          train_seq_len=64),
+                          train_seq_len=64, param_layout=param_layout),
         latent_opt=LatentOptConfig(opt_it=opt_it, opt_lr=0.1, opt_step_size=50,
                                    prev_epochs=50, optimize_decoder=True,
                                    per_window_decoder=per_window_decoder,
@@ -441,6 +442,17 @@ def main(batch_size: int = 8, steps_per_call: int = 32, calls: int = 30,
                 bench_latent_opt(per_window_decoder=False), 1)
     except Exception:
         lo_shared_ms = None
+    lo_compact_ms = None
+    try:
+        # compact conv layout in the SOLVER: the per-window decoder
+        # fine-tune is decoder-weight+moment HBM bound, and 24% of the
+        # decoder's conv parameters are mask-dead
+        if not cpu_fallback:
+            lo_compact_ms = round(
+                bench_latent_opt(per_window_decoder=True,
+                                 param_layout="compact"), 1)
+    except Exception:
+        lo_compact_ms = None
 
     print(json.dumps({
         "metric": "len64_hmvae_train_throughput_bs8",
@@ -467,6 +479,7 @@ def main(batch_size: int = 8, steps_per_call: int = 32, calls: int = 30,
             round(e2e_aug["median"], 2) if e2e_aug else None,
         "latent_opt_interp_10win_solve_ms": lo_ms,
         "latent_opt_interp_10win_shared_clone_ms": lo_shared_ms,
+        "latent_opt_interp_10win_compact_layout_ms": lo_compact_ms,
         **roofline,
         **({"platform": "cpu_fallback_tpu_unavailable",
             "note": "axon relay outage at bench time (probe retried with "

@@ -184,6 +184,20 @@ def test_torch_round_trip_compact():
                                       err_msg=str(pa))
 
 
+def test_trajectory_model_layouts_equal():
+    from hm_vae_tpu.models.trajectory import TrajectoryModel
+
+    cfg_d = dataclasses.replace(CFG_D, model_name="TrajectoryModel",
+                                train_seq_len=16)
+    cfg_c = dataclasses.replace(cfg_d, param_layout="compact")
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 16, 24, 3))
+    v_d = TrajectoryModel(cfg_d).init(jax.random.PRNGKey(0), x)
+    v_c = pl.convert_conv_params(v_d, cfg_d, "compact")
+    out_d = TrajectoryModel(cfg_d).apply(v_d, x)
+    out_c = TrajectoryModel(cfg_c).apply(v_c, x)
+    np.testing.assert_array_equal(np.asarray(out_d), np.asarray(out_c))
+
+
 def test_cross_layout_checkpoint_load(tmp_path):
     """A dense-trained checkpoint loads into a compact-config Trainer (and
     vice versa) through load_params' layout fallback."""
