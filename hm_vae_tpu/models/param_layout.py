@@ -165,6 +165,49 @@ def params_layout(params) -> str:
     return "compact" if "compact" in found else "dense"
 
 
+def _looks_like_params(obj) -> bool:
+    """A dict that is (or wraps) a model param-structured tree: a top-level
+    module whose ``conv_*`` children carry ``weight``/``weight_c`` leaves.
+    Matches the params tree itself AND any tree mirroring its structure
+    (Adam ``mu``/``nu`` moments, per-leaf count trees)."""
+    if not isinstance(obj, dict):
+        return False
+    if set(obj) == {"params"}:
+        return _looks_like_params(obj["params"])
+    for sub in obj.values():
+        if isinstance(sub, dict):
+            for name, leaf in sub.items():
+                if (name.startswith("conv_") and isinstance(leaf, dict)
+                        and ("weight" in leaf or "weight_c" in leaf)):
+                    return True
+    return False
+
+
+def convert_state(obj, cfg: ModelConfig, to_layout: str):
+    """Recursively convert every param-structured subtree of an arbitrary
+    pytree (TrainState, optax chain states, ...) between conv layouts.
+
+    Adam moments convert exactly like weights (their live entries are the
+    function-relevant state; mask-dead moment entries exist only because
+    weight decay moves dead DENSE weights — they influence nothing and
+    rebuild as zeros).  Per-leaf scalar trees are renamed, values kept.
+    """
+    validate_layout(to_layout)
+    if _looks_like_params(obj):
+        return convert_conv_params(obj, cfg, to_layout)
+    if isinstance(obj, dict):
+        return {k: convert_state(v, cfg, to_layout) for k, v in obj.items()}
+    if isinstance(obj, tuple) and hasattr(obj, "_fields"):     # NamedTuple
+        return type(obj)(*(convert_state(v, cfg, to_layout) for v in obj))
+    if isinstance(obj, (list, tuple)):
+        return type(obj)(convert_state(v, cfg, to_layout) for v in obj)
+    if dataclasses.is_dataclass(obj) and not isinstance(obj, type):
+        return dataclasses.replace(obj, **{
+            f.name: convert_state(getattr(obj, f.name), cfg, to_layout)
+            for f in dataclasses.fields(obj)})
+    return obj
+
+
 def tree_has_key(tree, key: str) -> bool:
     """Duck-typed nested-mapping search (works on orbax metadata trees)."""
     keys = getattr(tree, "keys", None)
@@ -209,14 +252,20 @@ def convert_conv_params(params, cfg: ModelConfig, to_layout: str):
                 new_sub[name] = leaf
                 continue
             leaf = dict(leaf)
+            # shape-aware: weights and Adam moment trees carry full arrays
+            # (dense ndim 3 / compact ndim 2) and convert; per-leaf scalar
+            # trees (torch_adam_l2's ``counts``) mirror the params STRUCTURE
+            # only, so their leaf is renamed but the scalar passes through
             if is_compact_spec(spec, to_layout):
                 if "weight" in leaf:
-                    leaf["weight_c"] = compact_from_dense(
-                        leaf.pop("weight"), spec)
+                    w = leaf.pop("weight")
+                    leaf["weight_c"] = (compact_from_dense(w, spec)
+                                        if np.ndim(w) == 3 else w)
             else:
                 if "weight_c" in leaf:
-                    leaf["weight"] = dense_from_compact(
-                        leaf.pop("weight_c"), spec)
+                    w = leaf.pop("weight_c")
+                    leaf["weight"] = (dense_from_compact(w, spec)
+                                      if np.ndim(w) == 2 else w)
             new_sub[name] = leaf
         out[top] = new_sub
     return out

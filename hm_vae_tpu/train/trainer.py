@@ -395,6 +395,25 @@ class Trainer:
         # all processes participate), then places its local shards
         ckptr = ocp.StandardCheckpointer()
         target = self._to_host(self.state)
+        # conv weight-layout detection (models/param_layout.py): a
+        # checkpoint written under the other model.param_layout restores
+        # against a converted target, then converts back — params AND Adam
+        # moment/count trees, all function-exact, so dense<->compact runs
+        # resume each other seamlessly
+        from ..models.param_layout import convert_state, tree_has_key
+        want = self.cfg.model.param_layout
+        ck_layout = want
+        try:
+            meta = ocp.PyTreeCheckpointer().metadata(path).item_metadata
+            ck_layout = ("compact" if tree_has_key(meta["params"], "weight_c")
+                         else "dense")
+        except Exception:
+            pass  # no metadata (old orbax) -> assume matching layout
+        if ck_layout != want:
+            logging.getLogger(__name__).info(
+                "resume: converting checkpoint conv layout %s -> %s",
+                ck_layout, want)
+            target = convert_state(target, self.cfg.model, ck_layout)
         try:
             restored = ckptr.restore(path, target)
         except FileNotFoundError:
@@ -407,6 +426,8 @@ class Trainer:
                 " changed the opt-state layout), use load_params() for a"
                 " params-only load, or resume with the matching optimizer"
                 " settings") from e
+        if ck_layout != want:
+            restored = convert_state(restored, self.cfg.model, want)
         self.state = jax.device_put(restored, self.shardings)
         return int(self.state.step)
 

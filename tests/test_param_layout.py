@@ -233,3 +233,45 @@ def test_cross_layout_checkpoint_load(tmp_path):
             jax.tree_util.tree_leaves_with_path(tr_c.state.params)):
         np.testing.assert_array_equal(np.asarray(la), np.asarray(lb),
                                       err_msg=str(pa))
+
+
+def test_cross_layout_resume_full_state(tmp_path):
+    """resume() converts params AND Adam moment/count trees across layouts:
+    a dense-trained run continues under a compact config with identical
+    training trajectory (and vice versa)."""
+    from hm_vae_tpu.data.dataset import make_loaders
+    from hm_vae_tpu.train.trainer import Trainer
+    from hm_vae_tpu.utils.config import DataConfig, RunConfig
+
+    data = DataConfig(synthetic=True, synthetic_num_seqs=4,
+                      data_root=str(tmp_path / "data"),
+                      use_native_loader=False)
+    cfg = Config(model=CFG_D, optim=OptimConfig(batch_size=2, lr=1e-3),
+                 loss=LossConfig(iteration_interval=4), data=data,
+                 run=RunConfig(log_iter=100, validation_iter=10**9,
+                               snapshot_save_iter=10**9,
+                               image_save_iter=10**9, seed=3))
+    cfg_c = dataclasses.replace(cfg, model=CFG_C)
+
+    def fit_steps(trainer, n, resume_from=None):
+        train_ds, _, _ = make_loaders(trainer.cfg)
+        if resume_from is not None:
+            assert trainer.resume(resume_from) == 6
+        trainer.fit(train_ds, max_iter=n)
+        return trainer
+
+    # 6 steps dense, checkpoint, then 6 more under (a) dense, (b) compact
+    tr_a = fit_steps(Trainer(cfg, output_dir=str(tmp_path / "a")), 6)
+    ck = tr_a.save()
+    tr_a = fit_steps(tr_a, 12, resume_from=None)  # continue in-process
+    tr_b = fit_steps(Trainer(cfg_c, output_dir=str(tmp_path / "b")), 12,
+                     resume_from=ck)
+    assert int(tr_b.state.step) == 12
+    want = pl.convert_conv_params(
+        jax.tree.map(np.asarray, tr_a.state.params), CFG_D, "compact")
+    for (pa, la), (pb, lb) in zip(
+            jax.tree_util.tree_leaves_with_path(want),
+            jax.tree_util.tree_leaves_with_path(tr_b.state.params)):
+        assert str(pa) == str(pb)
+        np.testing.assert_allclose(np.asarray(la), np.asarray(lb),
+                                   atol=2e-6, rtol=2e-5, err_msg=str(pa))
