@@ -184,6 +184,23 @@ def test_torch_round_trip_compact():
                                       err_msg=str(pa))
 
 
+def test_compact_init_respects_block_bounds():
+    """weight_c init draws U(-b_e, b_e) with b_e the out-edge's masked-slice
+    kaiming bound (skeleton.py:70-89), exactly like the dense init's live
+    entries."""
+    st = get_structure(FLAG_D)
+    v = HMVAE(FLAG_C).init(jax.random.PRNGKey(0),
+                           _x(jax.random.PRNGKey(1), FLAG_C))
+    w = np.asarray(v["params"]["encoder"]["conv_0"]["weight_c"])
+    spec = st.encoder_levels[0].conv
+    meta = pl.compact_meta(spec)
+    assert w.shape == (meta.n_live, spec.kernel_size)
+    b = meta.row_bounds[:, None]
+    assert (np.abs(w) <= b + 1e-7).all()
+    # draws actually fill the band (not degenerate)
+    assert (np.abs(w) > 0.5 * b).mean() > 0.3
+
+
 def test_trajectory_model_layouts_equal():
     from hm_vae_tpu.models.trajectory import TrajectoryModel
 
