@@ -215,6 +215,42 @@ def test_trajectory_model_layouts_equal():
     np.testing.assert_array_equal(np.asarray(out_d), np.asarray(out_c))
 
 
+def test_latent_opt_solver_equal_across_layouts():
+    """The two-scan latent-opt solver (incl. per-window decoder clone +
+    custom_vjp weight expansion under vmap) produces the same loss under
+    either layout at a non-chaotic lr."""
+    from hm_vae_tpu.apps.latent_opt import init_z, make_latent_optimizer
+    from hm_vae_tpu.apps.tasks import _targets_from_rotmat, interpolation_mask
+    from hm_vae_tpu.ops import rotations as rot
+    from hm_vae_tpu.utils.config import LatentOptConfig
+
+    lo = LatentOptConfig(opt_it=6, prev_epochs=3, optimize_decoder=True,
+                         opt_lr=1e-3, opt_step_size=3,
+                         interpolation_window=4, per_window_decoder=True)
+    cfg = Config(model=CFG_D, latent_opt=lo)
+    cfg_c = dataclasses.replace(cfg, model=CFG_C)
+    v_d = HMVAE(CFG_D).init(jax.random.PRNGKey(0),
+                            _x(jax.random.PRNGKey(1), CFG_D))
+    v_c = pl.convert_conv_params(v_d, CFG_D, "compact")
+    B, T = 3, CFG_D.train_seq_len
+    aa = jax.random.normal(jax.random.PRNGKey(3), (B, T, 24, 3)) * 0.3
+    targets = _targets_from_rotmat(rot.aa_to_rotmat(aa))
+    tmask = np.asarray(interpolation_mask(T, 4))
+    mask = jnp.asarray(np.tile(tmask[None, :, None], (B, 1, 24)))
+    z = init_z(jax.random.PRNGKey(4), cfg, B)
+    zr = jax.tree.map(jnp.zeros_like, z)
+    res_d = make_latent_optimizer(HMVAE(CFG_D), cfg)(
+        v_d, targets, mask, z, zr)
+    res_c = make_latent_optimizer(HMVAE(CFG_C), cfg_c)(
+        v_c, targets, mask, z, zr)
+    np.testing.assert_allclose(np.asarray(res_d.final_loss),
+                               np.asarray(res_c.final_loss),
+                               rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(res_d.last_6d),
+                               np.asarray(res_c.last_6d),
+                               rtol=1e-4, atol=1e-5)
+
+
 def test_cross_layout_checkpoint_load(tmp_path):
     """A dense-trained checkpoint loads into a compact-config Trainer (and
     vice versa) through load_params' layout fallback."""
