@@ -30,6 +30,8 @@ def main():
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--moment_dtype", default="float32")
     ap.add_argument("--compute_dtype", default="float32")
+    ap.add_argument("--param_layout", default="dense",
+                    help="dense | compact (models/param_layout.py)")
     ap.add_argument("--quick", action="store_true",
                     help="only empty/full/adam variants")
     args = ap.parse_args()
@@ -49,7 +51,8 @@ def main():
     from hm_vae_tpu.utils.config import OptimConfig
     cfg = Config(
         model=ModelConfig(latent_d=24, shallow_latent_d=12, kernel_size=15,
-                          train_seq_len=64, compute_dtype=args.compute_dtype),
+                          train_seq_len=64, compute_dtype=args.compute_dtype,
+                          param_layout=args.param_layout),
         optim=OptimConfig(moment_dtype=args.moment_dtype))
     model = HMVAE(cfg.model)
     B, K, C = args.batch, args.k, args.calls
@@ -154,7 +157,8 @@ def main():
                           if k.endswith("_us") and k != "empty_scan_us"}
         results.update(batch=B, steps_per_dispatch=K, calls=C,
                        moment_dtype=args.moment_dtype,
-                       compute_dtype=args.compute_dtype)
+                       compute_dtype=args.compute_dtype,
+                       param_layout=args.param_layout)
         print(json.dumps(results))
         return
 
@@ -250,7 +254,8 @@ def main():
     results = {k: round(v, 1) for k, v in results.items()}
     results["net"] = {k: round(v - floor, 1) for k, v in results.items()
                       if k.endswith("_us") and k != "empty_scan_us"}
-    results.update(batch=B, steps_per_dispatch=K, calls=C, n_params=n_params)
+    results.update(batch=B, steps_per_dispatch=K, calls=C, n_params=n_params,
+                   param_layout=args.param_layout)
     print(json.dumps(results))
 
 
