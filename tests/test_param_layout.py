@@ -184,6 +184,19 @@ def test_torch_round_trip_compact():
                                       err_msg=str(pa))
 
 
+def test_extra_conv_layouts_equal():
+    """extra_conv=1 adds stride-1 convs on both sides (their specs are in the
+    conversion map too); apply equality must hold."""
+    cfg_d = dataclasses.replace(CFG_D, extra_conv=1)
+    cfg_c = dataclasses.replace(cfg_d, param_layout="compact")
+    x = _x(jax.random.PRNGKey(1), cfg_d)
+    v_d = HMVAE(cfg_d).init(jax.random.PRNGKey(0), x)
+    v_c = pl.convert_conv_params(v_d, cfg_d, "compact")
+    _, out_d = HMVAE(cfg_d).apply(v_d, x)
+    _, out_c = HMVAE(cfg_c).apply(v_c, x)
+    np.testing.assert_array_equal(np.asarray(out_d), np.asarray(out_c))
+
+
 def test_compact_init_respects_block_bounds():
     """weight_c init draws U(-b_e, b_e) with b_e the out-edge's masked-slice
     kaiming bound (skeleton.py:70-89), exactly like the dense init's live
