@@ -247,7 +247,7 @@ def convert_conv_params(params, cfg: ModelConfig, to_layout: str):
             continue
         new_sub = {}
         for name, leaf in sub.items():
-            spec = spec_map.get(name) if isinstance(sub, dict) else None
+            spec = spec_map.get(name)
             if spec is None or not isinstance(leaf, dict):
                 new_sub[name] = leaf
                 continue

@@ -90,6 +90,10 @@ class Trainer:
         self.tx = make_optimizer(cfg.optim)
         rng = jax.random.PRNGKey(cfg.run.seed)
         self.state, self.shardings = self._create_state(rng)
+        n_params = sum(x.size for x in jax.tree.leaves(self.state.params))
+        logging.getLogger(__name__).info(
+            "%s: %.2fM params (param_layout=%s), mesh=%s", name,
+            n_params / 1e6, cfg.model.param_layout, dict(self.mesh.shape))
         self._step_fn = None
         self._eval_fn = None
 
