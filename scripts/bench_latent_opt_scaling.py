@@ -24,19 +24,22 @@ def main():
     ap.add_argument("--sizes", type=int, nargs="+",
                     default=[10, 20, 40, 80, 160])
     ap.add_argument("--opt_it", type=int, default=150)
+    ap.add_argument("--param_layout", default="dense",
+                    help="dense | compact (models/param_layout.py)")
     args = ap.parse_args()
 
     from bench import bench_latent_opt
 
     rows = []
     for B in args.sizes:
-        ms = bench_latent_opt(windows=B, opt_it=args.opt_it)
+        ms = bench_latent_opt(windows=B, opt_it=args.opt_it,
+                              param_layout=args.param_layout)
         rows.append({"windows": B, "solve_ms": round(ms, 1),
                      "windows_per_sec": round(B / (ms / 1e3), 1),
                      "ms_per_window": round(ms / B, 2)})
         print(json.dumps(rows[-1]), flush=True)
 
-    print(json.dumps({"table": rows}))
+    print(json.dumps({"table": rows, "param_layout": args.param_layout}))
 
 
 if __name__ == "__main__":
