@@ -34,6 +34,10 @@ timeout 1200 python scripts/profile_train_step.py --quick \
 echo "== 3. latent-opt window scaling (10/40/160) =="
 timeout 1800 python scripts/bench_latent_opt_scaling.py \
   | tee "$OUT/latent_opt_scaling.json" || true
+echo "== 3b. same, compact layout =="
+timeout 1800 python scripts/bench_latent_opt_scaling.py \
+  --param_layout compact --sizes 10 40 160 \
+  | tee "$OUT/latent_opt_scaling_compact.json" || true
 
 echo "== done: evidence in $OUT =="
 echo "next: update BASELINE.md rows; if compact >= dense, flip"
