@@ -159,8 +159,17 @@ def main(argv=None):
                             mean_std=trainer.mean_std)
         if args.trajectory_test_model:
             t_trainer.load_params(args.trajectory_test_model)
+        # traj_runner only ever runs inside primary-only artifact writes
+        # (_save_seq_outputs), so its jit must be a PROCESS-LOCAL launch:
+        # host_local_copy re-binds it on host numpy params (identity
+        # single-process).  traj_tuple feeds the SOLVER's in-loop trajectory
+        # loss, which all processes dispatch together — that keeps the
+        # pod-spanning params.
+        from ..parallel.multihost import host_local_copy
+
         traj_runner = TrajectoryRunner(
-            t_trainer.model, t_trainer.state.params, mean_std)
+            t_trainer.model, host_local_copy(t_trainer.state.params),
+            mean_std)
         traj_tuple = (t_trainer.model, t_trainer.state.params, mean_std)
 
     if task == "interpolation_sw" and traj_tuple is None:
@@ -316,7 +325,9 @@ def _save_seq_outputs(name, rotmat, rot6d, pose, args, traj_runner,
     """Per-sequence artifacts: optimized rotations, predicted world-space
     root trajectory (when a trajectory model is loaded), optional animation.
     Multi-host: process 0 only (shared fs; the compute above already ran
-    pod-wide — traj_runner here is a process-local jit)."""
+    pod-wide — traj_runner is bound to a host-local param copy at build
+    time, so its jit launches process-locally and is safe to call from
+    process 0 alone)."""
     from ..parallel.multihost import is_primary
     from ..utils.viz import save_animation
 
@@ -374,12 +385,39 @@ def _run_reconstruction(args, infer, eval_ds, n_eval, W, traj_runner,
     from ..ops import rotations as rot
 
     # --data_parallel: the fixed-size window batches shard over the mesh's
-    # data axis (pure batched encode/decode — embarrassingly parallel)
+    # data axis (pure batched encode/decode — embarrassingly parallel).
+    # Multi-host follows LatentOptApps._dispatch's protocol: every process
+    # computes the identical batch and contributes its contiguous row share
+    # (a plain device_put of host data onto a pod-spanning sharding is not
+    # addressable), and outputs replicate back so np.asarray reads locally.
     bsh = None
+    replicate = None
+    pc = jax.process_count()
     if mesh is not None and mesh.shape["data"] > 1:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         bsh = NamedSharding(mesh, P("data"))
+        if pc > 1:
+            replicate = jax.jit(lambda t: t,
+                                out_shardings=NamedSharding(mesh, P()))
+    if pc > 1 and bsh is None:
+        raise ValueError(
+            "multi-process --test_model_rec needs --data_parallel: the "
+            "params span the pod, so window batches must be assembled as "
+            "global arrays over the same mesh")
+
+    def put(six):
+        if bsh is None:
+            return six
+        if pc == 1:
+            return jax.device_put(six, bsh)
+        if six.shape[0] % pc:
+            raise ValueError(f"batch {six.shape[0]} not divisible by "
+                             f"{pc} processes")
+        rpp = six.shape[0] // pc
+        i0 = jax.process_index() * rpp
+        return jax.make_array_from_process_local_data(
+            bsh, np.asarray(six[i0:i0 + rpp]))
 
     results = []
     for chunk in _chunked(_iter_eligible(eval_ds, n_eval, W), args.chunk):
@@ -398,10 +436,10 @@ def _run_reconstruction(args, infer, eval_ds, n_eval, W, traj_runner,
             if nb < REC_BS:  # cycle real windows; padded rows discarded below
                 part = np.concatenate(
                     [part, part[np.arange(REC_BS - nb) % nb]])
-            six = rot.rotmat_to_rot6d(jnp.asarray(part))
-            if bsh is not None:
-                six = jax.device_put(six, bsh)
+            six = put(rot.rotmat_to_rot6d(jnp.asarray(part)))
             r6, rm, rp = infer.mean_reconstruction(six)
+            if replicate is not None:
+                r6, rm, rp = replicate((r6, rm, rp))
             parts6.append(np.asarray(r6)[:nb])
             parts_rm.append(np.asarray(rm)[:nb])
             parts_pose.append(np.asarray(rp)[:nb])

@@ -83,6 +83,13 @@ def main(argv=None):
 
     def run_and_save(rot6d, tag):
         world, root_v = runner(rot6d)
+        # multi-host: every process dispatched the compute above together;
+        # the shared-fs artifacts get ONE writer (same policy as
+        # eval_recovery._save_seq_outputs / _write_summary)
+        from ..parallel.multihost import is_primary
+
+        if not is_primary():
+            return world
         for b in range(world.shape[0]):
             # (T, 24, 9) = 6D rep ++ world positions (eval_trajectory_pred.py
             # saves the same concat layout)

@@ -277,14 +277,25 @@ def resolve_split_json(cfg: Config, split: str,
     path (as given, then relative to the data dir — this is how the
     reference-named ``*_all_amass_motion_data.json`` defaults resolve when
     present); fallback is the prep-generated ``{split}.json``.
+
+    The fallback applies ONLY to the dataclass-default field value: an
+    explicitly configured manifest that does not exist raises instead of
+    silently evaluating a different file inventory (the point of the
+    ``--split_json`` surface is byte-reproducible split selection).
     """
     d = data_dir or cfg.data.data_root
     field = getattr(cfg.data, f"{split}_json", "")
     if field == "reference":
         return layout.reference_split_path(split)
-    for cand in (field, os.path.join(d, field)) if field else ():
+    candidates = (field, os.path.join(d, field)) if field else ()
+    for cand in candidates:
         if os.path.exists(cand):
             return cand
+    default = type(cfg.data).__dataclass_fields__[f"{split}_json"].default
+    if field and field != default:
+        raise FileNotFoundError(
+            f"configured data.{split}_json does not exist (tried "
+            f"{list(candidates)})")
     return os.path.join(d, f"{split}.json")
 
 
@@ -305,9 +316,19 @@ def make_loaders(cfg: Config, data_dir: Optional[str] = None):
     if cfg.data.synthetic or not os.path.exists(_index_path("train")):
         os.makedirs(d, exist_ok=True)
         if not os.path.exists(os.path.join(d, "train.json")):
-            synthetic.generate_dataset(
-                d, num_seqs=cfg.data.synthetic_num_seqs, seed=cfg.run.seed
-            )
+            # multi-host: the data root is shared, so only process 0 writes
+            # (concurrent generators would race on the same files) and the
+            # rest block on a pod barrier until the dataset is complete
+            from ..parallel import multihost as mh
+
+            if mh.is_primary():
+                synthetic.generate_dataset(
+                    d, num_seqs=cfg.data.synthetic_num_seqs,
+                    seed=cfg.run.seed)
+            if mh.process_count() > 1:
+                from jax.experimental import multihost_utils
+
+                multihost_utils.sync_global_devices("hmvae_synthetic_data")
     seq_dir = os.path.join(d, "seqs")
     ms_path = os.path.join(d, "mean_std.npy")
     mean_std = (

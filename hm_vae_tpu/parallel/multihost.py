@@ -99,9 +99,14 @@ def process_seed(base_seed: int, index: Optional[int] = None,
     only needs DIFFERENT streams, not an explicit partition; offsetting by
     a large prime keeps the per-process numpy Generators uncorrelated.
     Identity for process 0 / single process, so single-host runs (and every
-    existing checkpoint/parity artifact) are unaffected.
+    existing checkpoint/parity artifact) are unaffected.  ``count`` (like
+    :func:`process_shard`'s) only validates ``index``; the stream does not
+    depend on world size.
     """
     i = process_index() if index is None else index
+    c = process_count() if count is None else count
+    if not 0 <= i < c:
+        raise ValueError(f"process index {i} outside [0, {c})")
     return base_seed + 7_919_003 * i
 
 
@@ -136,6 +141,37 @@ def local_batch_size(global_batch: int, index: Optional[int] = None,
             f"optim.batch_size={global_batch} must divide by the "
             f"{c} processes (each host loads batch/processes samples)")
     return global_batch // c
+
+
+def host_local_copy(tree):
+    """Pod-spanning REPLICATED arrays -> host numpy; identity single-process.
+
+    For primary-only side work (periodic visualizations, per-sequence
+    artifact writes) the compute must NOT launch over the pod mesh: a jit
+    whose closure holds pod-spanning params is an SPMD program every process
+    must join, and dispatching it from process 0 alone desynchronises the
+    collective launch order (observed as a Gloo DEADLINE_EXCEEDED — see
+    ``Trainer.save``'s comment).  Re-binding the helper on a host-numpy copy
+    of the params makes every launch process-local, so one process can run
+    it freely.  State actually sharded ACROSS hosts has no local copy —
+    that raises, same contract as ``Trainer._to_host``.
+    """
+    import jax
+    import numpy as np
+
+    if process_count() == 1:
+        return tree
+
+    def one(x):
+        if isinstance(x, jax.Array) and not x.is_fully_addressable:
+            if not x.is_fully_replicated:
+                raise ValueError(
+                    "host_local_copy needs replicated (or addressable) "
+                    "arrays; state sharded across hosts has no local copy")
+            return np.asarray(x.addressable_data(0))
+        return np.asarray(x)
+
+    return jax.tree.map(one, tree)
 
 
 def make_global_batch(local_tree, sharding):

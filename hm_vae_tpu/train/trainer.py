@@ -491,12 +491,19 @@ class Trainer:
     def _save_visualizations(self, test_ds, step: int, rng) -> None:
         """GT vs mean-reconstruction vs prior-sample animations — the train
         loop's periodic viz (train_motion_vae.py:113-150 + model.test,
-        seq_two_hier_sa_vae.py:560-639)."""
+        seq_two_hier_sa_vae.py:560-639).
+
+        Runs on process 0 only, so the inference jits must be PROCESS-LOCAL
+        launches: multi-host, ``state.params`` are pod-spanning arrays and a
+        jit closed over them is a pod-wide SPMD program that every process
+        would have to join (the save()-comment deadlock).  ``host_local_copy``
+        re-binds the helper on host numpy params — identity single-process."""
         from ..apps.inference import VAEInference
         from ..ops import fk as fk_mod
         from ..utils.viz import save_animation
 
-        infer = VAEInference(self.model, self.state.params, self.cfg)
+        infer = VAEInference(self.model, mh.host_local_copy(self.state.params),
+                             self.cfg)
         b = test_ds.sample_batch(1)
         _, _, mean_pose = infer.mean_reconstruction(jnp.asarray(b["rot_6d"]))
         _, _, samp_pose = infer.prior_samples(jax.random.fold_in(rng, step), 1)

@@ -276,3 +276,10 @@ def test_resolve_split_json_precedence(tmp_path):
     abs_json.write_text("{}")
     cfg2 = dataclasses_replace_data(cfg, test_json=str(abs_json))
     assert resolve_split_json(cfg2, "test") == str(abs_json)
+
+    # an EXPLICITLY configured manifest that doesn't exist raises (silent
+    # fallback would evaluate a different file inventory than requested);
+    # only the dataclass-default field value gets the prep-generated fallback
+    cfg3 = dataclasses_replace_data(cfg, test_json=str(tmp_path / "nope.json"))
+    with pytest.raises(FileNotFoundError, match="test_json"):
+        resolve_split_json(cfg3, "test")

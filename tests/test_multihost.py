@@ -46,11 +46,23 @@ def test_local_batch_size():
 
 
 def test_process_seed_distinct_streams():
-    seeds = [mh.process_seed(7, index=i) for i in range(16)]
+    seeds = [mh.process_seed(7, index=i, count=16) for i in range(16)]
     assert len(set(seeds)) == 16
     assert seeds[0] == 7                      # identity for process 0
     # identity single-process (no explicit index)
     assert mh.process_seed(7) == 7
+    # count validates index, same contract as process_shard
+    with pytest.raises(ValueError):
+        mh.process_seed(7, index=3, count=3)
+
+
+def test_host_local_copy_single_process_identity():
+    """Single-process the params pass through untouched (no copies, no
+    dtype churn); multi-process semantics are covered by the 2-process viz
+    e2e below."""
+    tree = {"w": jnp.arange(6.0).reshape(2, 3), "b": np.ones(3)}
+    out = mh.host_local_copy(tree)
+    assert out["w"] is tree["w"] and out["b"] is tree["b"]
 
 
 def test_single_process_identity():
@@ -192,6 +204,139 @@ def test_two_process_distributed_training_e2e(tmp_path):
     for pid, (p, log) in enumerate(zip(procs, logs)):
         assert p.returncode == 0, f"resume process {pid} failed:\n{log[-3000:]}"
         assert "Resume from iteration 4" in log
+
+
+def test_two_process_synthetic_generation_and_viz(tmp_path):
+    """Two multi-host sharp edges in one real 2-process run:
+
+    1. synthetic dataset auto-generation on a SHARED data root — process 0
+       generates, process 1 blocks on the pod barrier (concurrent
+       generators used to race on the same files);
+    2. the periodic visualization save (image_save_iter) — process 0 runs
+       it alone on a HOST-LOCAL param copy; were the inference jits still
+       closed over pod-spanning params, the lone-process SPMD launch would
+       desynchronise the collective order and hang both processes (the
+       subprocess timeout is the detector).
+    """
+    import socket
+    import subprocess
+    import sys
+
+    import yaml
+
+    data_dir = str(tmp_path / "data")   # does NOT exist: generated in-run
+    cfg = {
+        "model_name": "TwoHierSAVAEModel", "latent_d": 6, "shallow_latent_d": 6,
+        "kernel_size": 3, "train_seq_len": 8, "batch_size": 8, "lr": 0.001,
+        "max_iter": 2, "log_iter": 2, "validation_iter": 10**9,
+        "snapshot_save_iter": 10**9, "image_save_iter": 2,
+        "nan_guard": False, "synthetic": True, "synthetic_num_seqs": 6,
+        "data_root": data_dir,
+    }
+    cfg_path = str(tmp_path / "gen.yaml")
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(cfg, f)
+
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+    out = str(tmp_path / "shared")
+
+    def launch(pid):
+        env = dict(os.environ,
+                   HMVAE_DIST="1",
+                   JAX_COORDINATOR_ADDRESS=f"localhost:{port}",
+                   JAX_NUM_PROCESSES="2", JAX_PROCESS_ID=str(pid),
+                   HMVAE_PLATFORM="cpu",
+                   XLA_FLAGS="--xla_force_host_platform_device_count=2")
+        env.pop("JAX_PLATFORMS", None)
+        return subprocess.Popen(
+            [sys.executable, "-m", "hm_vae_tpu.cli.train",
+             "--config", cfg_path, "--output_path", out],
+            env=env, cwd=os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__))),
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
+
+    procs = [launch(0), launch(1)]
+    logs = [p.communicate(timeout=360)[0] for p in procs]
+    for pid, (p, log) in enumerate(zip(procs, logs)):
+        assert p.returncode == 0, f"process {pid} failed:\n{log[-3000:]}"
+    # one complete generated dataset on the shared root
+    import json as _json
+    with open(os.path.join(data_dir, "train.json")) as f:
+        names = _json.load(f)
+    assert names and all(
+        os.path.exists(os.path.join(data_dir, "seqs", n))
+        for n in names.values())
+    # the viz crossing produced artifacts (mp4 or the gif fallback)
+    img_dir = os.path.join(out, "outputs", "gen", "images", "2")
+    assert os.path.isdir(img_dir) and os.listdir(img_dir)
+
+
+def test_two_process_reconstruction_matches_single(tmp_path):
+    """eval_recovery --test_model_rec --data_parallel over a real 2-process
+    cluster: window batches assemble via make_array_from_process_local_data
+    (a plain device_put onto the pod-spanning sharding is not addressable),
+    outputs replicate back, and the summary written by process 0 is
+    identical to a single-process run."""
+    import json
+    import socket
+    import subprocess
+    import sys
+
+    import yaml
+
+    from hm_vae_tpu.data import synthetic
+
+    data_dir = str(tmp_path / "data")
+    synthetic.generate_dataset(data_dir, num_seqs=6, seed=0)
+    cfg = {
+        "model_name": "TwoHierSAVAEModel", "latent_d": 6, "shallow_latent_d": 6,
+        "kernel_size": 3, "train_seq_len": 8, "batch_size": 4,
+        "synthetic": True, "data_root": data_dir,
+    }
+    cfg_path = str(tmp_path / "rec.yaml")
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(cfg, f)
+
+    from hm_vae_tpu.cli.eval_recovery import main
+
+    main(["--config", cfg_path, "--output_path", str(tmp_path / "single"),
+          "--test_model_rec", "--max_seqs", "2"])
+    with open(tmp_path / "single" / "eval_reconstruction" / "rec" /
+              "summary.json") as f:
+        ref = json.load(f)
+
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+
+    def launch(pid):
+        env = dict(os.environ,
+                   HMVAE_DIST="1",
+                   JAX_COORDINATOR_ADDRESS=f"localhost:{port}",
+                   JAX_NUM_PROCESSES="2", JAX_PROCESS_ID=str(pid),
+                   HMVAE_PLATFORM="cpu",
+                   XLA_FLAGS="--xla_force_host_platform_device_count=2")
+        env.pop("JAX_PLATFORMS", None)
+        return subprocess.Popen(
+            [sys.executable, "-m", "hm_vae_tpu.cli.eval_recovery",
+             "--config", cfg_path, "--output_path", str(tmp_path / "pod"),
+             "--test_model_rec", "--max_seqs", "2", "--data_parallel", "4"],
+            env=env, cwd=os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__))),
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
+
+    procs = [launch(0), launch(1)]
+    logs = [p.communicate(timeout=360)[0] for p in procs]
+    for pid, (p, log) in enumerate(zip(procs, logs)):
+        assert p.returncode == 0, f"process {pid} failed:\n{log[-3000:]}"
+    with open(tmp_path / "pod" / "eval_reconstruction" / "rec" /
+              "summary.json") as f:
+        pod = json.load(f)
+    assert set(pod) == set(ref)
+    for k in ref:
+        np.testing.assert_allclose(pod[k], ref[k], rtol=1e-5, err_msg=k)
 
 
 def test_two_process_distributed_eval_matches_single(tmp_path):
