@@ -258,28 +258,63 @@ def _cost_per_step(jitted, args, steps_per_dispatch: int, jax):
         return None, None
 
 
+def _floor_bytes_per_step(state) -> int:
+    """Indisputable per-step HBM traffic floor, from the LIVE state tree.
+
+    Any implementation of "one Adam step on these parameters" must move at
+    least: params read+write (2P), gradients written by the backward and
+    read by the optimizer (2P; grads are param-dtype), and both Adam
+    moments read+write (2*O, where O is the total moment bytes at their
+    stored dtype — so ``moment_dtype=bfloat16`` halves this term).  Forward
+    /backward weight and activation traffic comes ON TOP of this floor, so
+    ``hbm_roofline_frac_floor`` is a conservative lower bound on how close
+    the measured step runs to the memory roofline.
+    """
+    import jax
+
+    pb = sum(l.size * l.dtype.itemsize for l in jax.tree.leaves(state.params))
+    ob = sum(l.size * l.dtype.itemsize
+             for l in jax.tree.leaves(state.opt_state)
+             if getattr(l, "ndim", 0) > 0)
+    return 4 * pb + 2 * ob
+
+
 def _roofline_fields(bytes_per_step, flops_per_step,
-                     step_time_s: float, device_kind: str) -> dict:
+                     step_time_s: float, device_kind: str,
+                     floor_bytes=None) -> dict:
     """Self-certifying roofline fields (VERDICT r3 "What's weak" #2).
 
-    ``bytes``/``flops`` come from the compiled executable's HLO cost model
-    (the numbers XLA itself optimises against); achieved bandwidth is those
-    bytes over the *measured* step time, and ``hbm_roofline_frac`` /
-    ``mfu_nominal`` divide by the chip's public peaks.  Nothing here is
-    hand-computed from a prose traffic model.
+    Two traffic models, both computed in code (nothing hand-derived from a
+    prose ledger): ``bytes_per_step`` from XLA's own HLO cost analysis
+    (which under-counts ``lax.scan`` bodies — kept for continuity and
+    labelled), and ``floor_bytes_per_step`` from the live parameter /
+    optimizer-state tree (see ``_floor_bytes_per_step`` — a hard lower
+    bound any implementation must move).  ``hbm_roofline_frac_floor`` is
+    the certified figure: floor bytes over measured time over the chip's
+    public peak bandwidth.
     """
     out = {"bytes_per_step": None, "achieved_gbps": None,
            "hbm_roofline_frac": None, "flops_per_step": None,
            "mfu_nominal": None, "device_kind": device_kind,
            "hbm_peak_gbps": None, "peak_tflops": None,
-           "traffic_model": None}
+           "traffic_model": None, "floor_bytes_per_step": None,
+           "floor_gbps": None, "hbm_roofline_frac_floor": None}
+    bw, tf = _chip_peaks(device_kind)
+    if floor_bytes is not None:
+        out["floor_bytes_per_step"] = int(floor_bytes)
+        out["floor_gbps"] = round(floor_bytes / step_time_s / 1e9, 1)
+        if bw:
+            out["hbm_peak_gbps"] = bw
+            out["hbm_roofline_frac_floor"] = round(
+                floor_bytes / step_time_s / (bw * 1e9), 3)
+        out["traffic_model"] = "analytic_floor+xla_cost_analysis"
     if bytes_per_step is None:
         return out
     out["bytes_per_step"] = round(bytes_per_step)
     out["flops_per_step"] = round(flops_per_step)
     out["achieved_gbps"] = round(bytes_per_step / step_time_s / 1e9, 1)
-    out["traffic_model"] = "xla_cost_analysis"
-    bw, tf = _chip_peaks(device_kind)
+    if out["traffic_model"] is None:
+        out["traffic_model"] = "xla_cost_analysis"
     if bw:
         out["hbm_peak_gbps"] = bw
         out["hbm_roofline_frac"] = round(
@@ -351,10 +386,12 @@ def main(batch_size: int = 8, steps_per_call: int = 32, calls: int = 30,
         mstep, (state, batches, rng), steps_per_call, jax)
     device_kind = getattr(jax.devices()[0], "device_kind",
                           str(jax.devices()[0]))
+    floor = _floor_bytes_per_step(state)  # before _bench donates `state`
     dt, _ = _bench(mstep, state, batches, rng, calls, warmup, jax)
     fused = batch_size * steps_per_call * calls / dt
     roofline = _roofline_fields(step_bytes, step_flops,
-                                dt / (steps_per_call * calls), device_kind)
+                                dt / (steps_per_call * calls), device_kind,
+                                floor_bytes=floor)
 
     # perf mode: Adam moments stored bf16 (the bs-8 step is parameter-HBM-
     # traffic bound — see BASELINE.md roofline decomposition; update precision
@@ -389,14 +426,18 @@ def main(batch_size: int = 8, steps_per_call: int = 32, calls: int = 30,
                           donate_argnums=(0,))
         c_bytes, c_flops = _cost_per_step(
             mstep_c, (state_c, batches, rng), steps_per_call, jax)
+        c_floor = _floor_bytes_per_step(state_c)
         dtc, _ = _bench(mstep_c, state_c, batches, rng, calls, warmup, jax)
         compact = batch_size * steps_per_call * calls / dtc
         cr = _roofline_fields(c_bytes, c_flops,
-                              dtc / (steps_per_call * calls), device_kind)
+                              dtc / (steps_per_call * calls), device_kind,
+                              floor_bytes=c_floor)
         compact_roofline = {
             "compact_bytes_per_step": cr["bytes_per_step"],
             "compact_achieved_gbps": cr["achieved_gbps"],
             "compact_hbm_roofline_frac": cr["hbm_roofline_frac"],
+            "compact_floor_bytes_per_step": cr["floor_bytes_per_step"],
+            "compact_hbm_roofline_frac_floor": cr["hbm_roofline_frac_floor"],
         }
 
         # both perf modes composed: compact layout + bf16 Adam moments

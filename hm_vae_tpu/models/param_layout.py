@@ -65,6 +65,31 @@ class CompactMeta:
     gather_idx: np.ndarray      # (C_out*C_in,) int32 in [0..L]; L = zero row
     live_flat: np.ndarray       # (L,) int32 positions into C_out*C_in
     row_bounds: np.ndarray      # (L,) per-live-row kaiming-uniform bound
+    # run (block) granularity for the lane-friendly gather: the mask is
+    # per-edge-pair (skeleton.py:58-61 expands `neighbor` by channels-per-
+    # edge), so live entries form contiguous runs of `run_w` columns per
+    # (out_channel, in_edge).  Gathering (run_w, K) blocks instead of
+    # single (K,) rows moves ~run_w*K contiguous elements per gather row
+    # (lane-friendly) and cuts the row count by run_w.  `run_w=1` is the
+    # exact row-granularity fallback for an irregular mask.
+    run_w: int                  # columns per run (in-channels per in-edge)
+    n_runs: int                 # R — live runs; L == R * run_w
+    run_gather_idx: np.ndarray  # (C_out * C_in // run_w,) int32 in [0..R]
+    live_runs: np.ndarray       # (R,) int32 positions into C_out*C_in//run_w
+
+
+def _column_block_width(mask: np.ndarray) -> int:
+    """Largest p dividing C_in such that mask columns are constant within
+    each width-p block — the in-channels-per-edge granularity of a
+    SkeletonConv neighbourhood mask (1 for an irregular mask)."""
+    c_in = mask.shape[1]
+    for p in range(c_in, 0, -1):
+        if c_in % p:
+            continue
+        blocks = mask.reshape(mask.shape[0], c_in // p, p)
+        if (blocks == blocks[:, :, :1]).all():
+            return p
+    return 1
 
 
 @functools.lru_cache(maxsize=None)
@@ -79,9 +104,21 @@ def compact_meta(spec: ConvSpec) -> CompactMeta:
     out_cpe = spec.out_channels // spec.n_edges
     per_out = np.repeat(spec.block_bounds, out_cpe)    # (C_out,)
     rows_o = live_flat // spec.in_channels
+    run_w = _column_block_width(mask)
+    nb = mask.reshape(mask.shape[0], -1, run_w)[:, :, 0]   # (C_out, n_in_e)
+    live_runs = np.flatnonzero(nb.ravel()).astype(np.int32)
+    n_runs = live_runs.size
+    run_gather_idx = np.full(nb.size, n_runs, dtype=np.int32)
+    run_gather_idx[live_runs] = np.arange(n_runs, dtype=np.int32)
+    # weight_c row-major order == run-major order: within an out-channel,
+    # live columns ascend, and each in-edge contributes run_w consecutive
+    # columns, so rows r*run_w .. (r+1)*run_w of weight_c ARE run r.
+    assert n_live == n_runs * run_w
     return CompactMeta(
         n_live=n_live, gather_idx=gather_idx, live_flat=live_flat,
         row_bounds=per_out[rows_o].astype(np.float32),
+        run_w=run_w, n_runs=n_runs, run_gather_idx=run_gather_idx,
+        live_runs=live_runs,
     )
 
 
@@ -90,24 +127,33 @@ def expander(spec: ConvSpec):
     """(L, K) -> (C_out, C_in, K) dense weight with exact-zero dead entries.
 
     custom_vjp: the backward pass is the contracting gather (dense grad at the
-    live positions), not autodiff's scatter-add transpose.
+    live positions), not autodiff's scatter-add transpose.  Both directions
+    gather at RUN granularity — (run_w, K) contiguous blocks per row — after
+    the round-4 chip measurement showed (K,)-row gathers (60 B/row, ~1.4 M
+    rows on the big levels) serializing far below the 128-lane VPU width
+    (BASELINE.md, compact-layout chip section).  Storage order is unchanged:
+    the run reshape is a view of the same row-major live entries.
     """
     meta = compact_meta(spec)
     shape = (spec.out_channels, spec.in_channels)
 
     @jax.custom_vjp
     def expand(w_c: jnp.ndarray) -> jnp.ndarray:
+        k = w_c.shape[-1]
+        wc3 = w_c.reshape(meta.n_runs, meta.run_w, k)
         wpad = jnp.concatenate(
-            [w_c, jnp.zeros((1, w_c.shape[-1]), w_c.dtype)], axis=0)
-        idx = jnp.asarray(meta.gather_idx)
-        return jnp.take(wpad, idx, axis=0).reshape(*shape, w_c.shape[-1])
+            [wc3, jnp.zeros((1, meta.run_w, k), w_c.dtype)], axis=0)
+        idx = jnp.asarray(meta.run_gather_idx)
+        return jnp.take(wpad, idx, axis=0).reshape(*shape, k)
 
     def fwd(w_c):
         return expand(w_c), None
 
     def bwd(_, g):
-        live = jnp.asarray(meta.live_flat)
-        return (jnp.take(g.reshape(-1, g.shape[-1]), live, axis=0),)
+        k = g.shape[-1]
+        g3 = g.reshape(-1, meta.run_w, k)
+        live = jnp.asarray(meta.live_runs)
+        return (jnp.take(g3, live, axis=0).reshape(meta.n_live, k),)
 
     expand.defvjp(fwd, bwd)
     return expand
