@@ -157,18 +157,28 @@ def make_latent_optimizer(model: HMVAE, cfg: Config,
 
     # the decoder fine-tune phase is HBM-bound on decoder weight+moment
     # traffic; opt_moment_dtype="bfloat16" (LatentOptConfig) halves the moment
-    # share with tested update precision (tests/test_train_step.py)
-    from ..train.optim import scale_by_adam_stored
+    # share with tested update precision (tests/test_train_step.py), and
+    # opt_param_dtype="bfloat16" halves the clone-weight share (stochastic-
+    # rounding write-back — train/optim.py:stochastic_round_updates; the
+    # z variables stay f32, they are tiny)
+    from ..train.optim import scale_by_adam_stored, stochastic_round_updates
+    clone_bf16 = jnp.dtype(lat.opt_param_dtype) == jnp.bfloat16
+    if not clone_bf16 and jnp.dtype(lat.opt_param_dtype) != jnp.float32:
+        raise ValueError(
+            f"unsupported latent_opt.opt_param_dtype: {lat.opt_param_dtype!r}")
     z_tx = optax.chain(
         optax.add_decayed_weights(cfg.optim.weight_decay),
         scale_by_adam_stored(moment_dtype=lat.opt_moment_dtype),
         optax.scale_by_learning_rate(_steplr(lat.opt_lr, lat)),
     )
-    dec_tx = optax.chain(
+    dec_parts = [
         optax.add_decayed_weights(cfg.optim.weight_decay),
         scale_by_adam_stored(moment_dtype=lat.opt_moment_dtype),
         optax.scale_by_learning_rate(_steplr(lat.opt_lr * 1e-3, lat)),
-    )
+    ]
+    if clone_bf16:
+        dec_parts.append(stochastic_round_updates("bfloat16"))
+    dec_tx = optax.chain(*dec_parts)
 
     def decode(dec_sub, z_list):
         # dec_sub holds ONLY the decoder subtree; encode is never called here
@@ -199,8 +209,10 @@ def make_latent_optimizer(model: HMVAE, cfg: Config,
             # (seq_two_hier_sa_vae.py:1714-1717); only the trainable subtree
             # contributes — frozen tensors never move, their term is zero
             if lat.optimize_decoder:
-                diffs = jax.tree.map(lambda a, b: jnp.mean((a - b) ** 2),
-                                     dec_train, orig_train)
+                diffs = jax.tree.map(
+                    lambda a, b: jnp.mean(
+                        (a.astype(jnp.float32) - b.astype(jnp.float32)) ** 2),
+                    dec_train, orig_train)
                 l_reg_dec = sum(jax.tree.leaves(diffs))
             else:
                 l_reg_dec = jnp.zeros(())
@@ -220,6 +232,12 @@ def make_latent_optimizer(model: HMVAE, cfg: Config,
         dec_all = params["params"]["decoder"]
         train_keys = _scope_keys(dec_all, lat.finetune_scope)
         train0 = {k: dec_all[k] for k in train_keys}
+        if clone_bf16:
+            # the CLONE is stored bf16 (frozen remainder and z stay f32);
+            # the pull-back target is the cast clone itself, so l_reg_dec
+            # starts at exactly zero like the f32 deepcopy
+            train0 = jax.tree.map(
+                lambda x: x.astype(jnp.bfloat16), train0)
         frozen = {k: v for k, v in dec_all.items() if k not in train_keys}
 
         def wrap(dec_train):

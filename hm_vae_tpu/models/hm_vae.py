@@ -163,12 +163,15 @@ class SkeletonConv(nn.Module):
             self.param("bias", _skeleton_conv_bias_init(s), (s.out_channels,))
             if s.bias else None
         )
-        if self.compute_dtype == "bfloat16":
-            # mixed precision: f32 master params, bf16 conv compute — the conv
-            # weights dominate HBM traffic on this model
-            x = x.astype(jnp.bfloat16)
-            w = w.astype(jnp.bfloat16)
-            b = b.astype(jnp.bfloat16) if b is not None else None
+        # compute dtype: bf16 compute casts x+w down (mixed precision — the
+        # conv weights dominate HBM traffic on this model); f32 compute casts
+        # a bf16-STORED weight (OptimConfig.param_dtype) up after the halved
+        # HBM read — lax.conv requires matching operand dtypes either way
+        cd = jnp.bfloat16 if self.compute_dtype == "bfloat16" else jnp.float32
+        if x.dtype != cd or w.dtype != cd:
+            x = x.astype(cd)
+            w = w.astype(cd)
+            b = b.astype(cd) if b is not None else None
         if compact:
             wm = pl.expander(s)(w)
         elif s.mask.all():

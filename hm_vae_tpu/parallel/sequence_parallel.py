@@ -100,10 +100,13 @@ def _encoder_local(x: jnp.ndarray, params, st, compute_dtype: str,
                 f"stride {s.stride}")
         w = enc[f"conv_{i}"]["weight"]
         b = enc[f"conv_{i}"]["bias"] if s.bias else None
-        if compute_dtype == "bfloat16":
-            x = x.astype(jnp.bfloat16)
-            w = w.astype(jnp.bfloat16)
-            b = b.astype(jnp.bfloat16) if b is not None else None
+        cd = jnp.bfloat16 if compute_dtype == "bfloat16" else jnp.float32
+        if x.dtype != cd or w.dtype != cd:
+            # bf16 compute casts down; f32 compute casts a bf16-STORED
+            # weight (param_dtype) up — mirrors SkeletonConv.__call__
+            x = x.astype(cd)
+            w = w.astype(cd)
+            b = b.astype(cd) if b is not None else None
         wm = w * jnp.asarray(s.mask, w.dtype)[:, :, None]
         x = halo_exchange(x, s.padding, axis_name, n_shards, s.padding_mode)
         x = snn.skeleton_conv_w(x, wm, b, s.stride, 0)

@@ -42,6 +42,79 @@ def _unzip(out, n):
                  for i in range(n))
 
 
+def stochastic_round_bf16(x32: jnp.ndarray, key: jax.Array) -> jnp.ndarray:
+    """Stochastically round f32 values to the bf16 grid, returned AS f32
+    (every output value is exactly bf16-representable).
+
+    Mechanism: add a uniform random 16-bit integer to the raw IEEE-754 bits
+    and truncate the low 16 — the classic SR trick: the value rounds to the
+    bf16 neighbour above with probability equal to the dropped fraction, so
+    ``E[round(x)] == x`` and sub-ulp optimizer updates accumulate in
+    expectation instead of vanishing to round-to-nearest.  Works for both
+    signs (sign-magnitude bit layout: the carry walks the magnitude, never
+    the sign) and across binade boundaries (mantissa carry rolls into the
+    exponent, which IS rounding up to the next power of two).  Not
+    inf/NaN-safe — parameters are finite by construction (nan_guard halts
+    the run otherwise).
+    """
+    bits = jax.lax.bitcast_convert_type(x32.astype(jnp.float32), jnp.uint32)
+    r = jax.random.bits(key, x32.shape, jnp.uint32) & jnp.uint32(0xFFFF)
+    bits = (bits + r) & jnp.uint32(0xFFFF0000)
+    return jax.lax.bitcast_convert_type(bits, jnp.float32)
+
+
+def _leaf_keys(base_key, tree):
+    """One PRNG key per leaf (deterministic: fold_in by flatten order)."""
+    leaves, treedef = jax.tree.flatten(tree)
+    return jax.tree.unflatten(
+        treedef, [jax.random.fold_in(base_key, i)
+                  for i in range(len(leaves))])
+
+
+class SRState(NamedTuple):
+    count: chex.Array
+
+
+def stochastic_round_updates(param_dtype: str = "bfloat16"):
+    """Final chain element for training low-precision-stored parameters.
+
+    Receives the finished update ``u`` (post-LR, post-weight-decay) and the
+    current params ``p`` (stored at ``param_dtype``), computes the exact new
+    value ``p32 + u32``, stochastically rounds it to the storage grid, and
+    returns the f32 difference ``sr32 - p32``.  ``optax.apply_updates``
+    computes ``(p + u)`` under dtype promotion (f32) — which reconstructs
+    ``sr32`` EXACTLY (both terms are bf16-representable, so the f32
+    arithmetic is exact) — then casts to ``p.dtype`` losslessly.  Net
+    effect: the stored parameter becomes the stochastic rounding of the
+    true f32 update, with no f32 master copy and no HBM traffic beyond the
+    bf16 reads/writes.
+    """
+    if jnp.dtype(param_dtype) != jnp.bfloat16:
+        raise ValueError("stochastic_round_updates supports bfloat16 only")
+
+    def init(params):
+        del params
+        return SRState(jnp.zeros((), jnp.int32))
+
+    def update(updates, state, params=None):
+        if params is None:
+            raise ValueError("stochastic_round_updates needs params")
+        count = state.count + 1
+        keys = _leaf_keys(jax.random.PRNGKey(0), params)
+        keys = jax.tree.map(
+            lambda k: jax.random.fold_in(k, count), keys)
+
+        def one(u, p, k):
+            p32 = p.astype(jnp.float32)
+            sr = stochastic_round_bf16(p32 + u.astype(jnp.float32), k)
+            return sr - p32
+
+        return (jax.tree.map(one, updates, params, keys),
+                SRState(count))
+
+    return optax.GradientTransformation(init, update)
+
+
 def scale_by_adam_stored(b1: float = 0.9, b2: float = 0.999,
                          eps: float = 1e-8,
                          moment_dtype: str = "float32"):
@@ -69,7 +142,10 @@ def scale_by_adam_stored(b1: float = 0.9, b2: float = 0.999,
         def one(g, m, v):
             u, m32, v32 = _adam_math(g.astype(jnp.float32), m, v, c1, c2,
                                      b1, b2, eps)
-            return u.astype(g.dtype), m32.astype(dt), v32.astype(dt)
+            # updates stay f32 even for low-precision grads: downstream LR
+            # scaling / stochastic_round_updates consume full precision (a
+            # no-op for f32 grads — bit-identical to optax.scale_by_adam)
+            return u, m32.astype(dt), v32.astype(dt)
 
         out = jax.tree.map(one, updates, state.mu, state.nu)
         upd, mu, nu = _unzip(out, 3)
@@ -122,6 +198,15 @@ def torch_adam_l2(cfg: OptimConfig) -> optax.GradientTransformation:
     b1, b2, eps = 0.9, 0.999, 1e-8
     wd = float(cfg.weight_decay or 0.0)
     dt = jnp.dtype(cfg.moment_dtype)
+    # param_dtype=bfloat16: params live in bf16 (halving fwd/bwd weight reads
+    # and grad traffic); the Adam math stays f32 and the new value is written
+    # back via stochastic rounding (see stochastic_round_bf16 — an f32 master
+    # would cost the 2P read+write this mode exists to shed)
+    param_sr = jnp.dtype(cfg.param_dtype) == jnp.bfloat16
+    if not param_sr and jnp.dtype(cfg.param_dtype) != jnp.float32:
+        raise ValueError(
+            f"unsupported param_dtype: {cfg.param_dtype!r} "
+            "(expected float32 | bfloat16)")
     sched = make_schedule(cfg)
 
     def init(params):
@@ -136,11 +221,12 @@ def torch_adam_l2(cfg: OptimConfig) -> optax.GradientTransformation:
         gcount = state.count + 1
         lr = sched(state.count)
 
-        def one(g, p, m, v, c):
+        def one(g, p, m, v, c, k):
             touched = jnp.any(g != 0)
             g32 = g.astype(jnp.float32)
+            p32 = p.astype(jnp.float32)
             if wd:
-                g32 = g32 + wd * p.astype(jnp.float32)
+                g32 = g32 + wd * p32
             cn = c + touched.astype(jnp.int32)
             # untouched leaves keep cn == c (possibly 0); clamp so the
             # discarded branch of the where() below can't divide by zero
@@ -148,14 +234,27 @@ def torch_adam_l2(cfg: OptimConfig) -> optax.GradientTransformation:
             u, m32, v32 = _adam_math(g32, m, v, 1 - b1 ** cf, 1 - b2 ** cf,
                                      b1, b2, eps)
             u = -lr * u
+            if param_sr:
+                # f32 update delta whose application under apply_updates'
+                # promote-then-cast lands exactly on the stochastically
+                # rounded bf16 value (see stochastic_round_updates)
+                u = stochastic_round_bf16(p32 + u, k) - p32
+            else:
+                u = u.astype(p.dtype)
             zero = jnp.zeros_like(u)
-            return (jnp.where(touched, u, zero).astype(p.dtype),
+            return (jnp.where(touched, u, zero),
                     jnp.where(touched, m32, m.astype(jnp.float32)).astype(dt),
                     jnp.where(touched, v32, v.astype(jnp.float32)).astype(dt),
                     cn)
 
-        out = jax.tree.map(one, grads, params, state.mu, state.nu,
-                           state.counts)
+        if param_sr:
+            keys = _leaf_keys(jax.random.PRNGKey(gcount), params)
+            out = jax.tree.map(one, grads, params, state.mu, state.nu,
+                               state.counts, keys)
+        else:
+            out = jax.tree.map(
+                lambda g, p, m, v, c: one(g, p, m, v, c, None),
+                grads, params, state.mu, state.nu, state.counts)
         upd, mu, nu, counts = _unzip(out, 4)
         return upd, TorchAdamL2State(gcount, counts, mu, nu)
 
@@ -181,6 +280,12 @@ def make_schedule_raw(lr: float, policy: str, step_size, gamma: float) -> optax.
 def make_optimizer(cfg: OptimConfig) -> optax.GradientTransformation:
     if cfg.none_grad_skip:
         return torch_adam_l2(cfg)
+    if jnp.dtype(cfg.param_dtype) != jnp.float32:
+        # the SR write-back lives in the fused torch-semantics optimizer;
+        # the plain chain would silently lose sub-ulp updates to the
+        # apply_updates round-to-nearest cast
+        raise ValueError(
+            "param_dtype=bfloat16 requires none_grad_skip=True")
     parts = []
     if cfg.weight_decay:
         parts.append(optax.add_decayed_weights(cfg.weight_decay))

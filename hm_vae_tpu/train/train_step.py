@@ -30,10 +30,24 @@ class TrainState:
     step: jnp.ndarray  # scalar int32
 
 
+def cast_params(params, param_dtype: str):
+    """Cast floating param leaves to the storage dtype (OptimConfig.param_dtype).
+
+    A no-op for float32.  Init always draws in f32 (so the bf16 mode starts
+    from the rounding of the SAME init as f32 training), then rounds once.
+    """
+    pd = jnp.dtype(param_dtype)
+    if pd == jnp.float32:
+        return params
+    return jax.tree.map(
+        lambda x: x.astype(pd) if jnp.issubdtype(x.dtype, jnp.floating)
+        else x, params)
+
+
 def create_state(model: HMVAE, cfg: Config, rng: jax.Array) -> TrainState:
     B, T = 2, cfg.model.train_seq_len
     dummy = jnp.zeros((B, T, cfg.model.n_joints, cfg.model.input_dim))
-    params = model.init(rng, dummy)
+    params = cast_params(model.init(rng, dummy), cfg.optim.param_dtype)
     tx = make_optimizer(cfg.optim)
     return TrainState(
         params=params,

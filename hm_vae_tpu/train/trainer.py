@@ -108,8 +108,11 @@ class Trainer:
         return self.model.init(rng, dummy)
 
     def _create_state(self, rng):
+        from .train_step import cast_params
+
         def build(r):
-            params = self._init_params(r)
+            params = cast_params(self._init_params(r),
+                                 self.cfg.optim.param_dtype)
             return TrainState(params=params, opt_state=self.tx.init(params),
                               step=jnp.zeros((), jnp.int32))
 

@@ -91,6 +91,20 @@ class OptimConfig:
     # cost in update precision.  "float32" (default) is bit-exact with the
     # torch Adam chain.
     moment_dtype: str = "float32"
+    # Parameter STORAGE dtype.  "bfloat16" stores the whole param tree in
+    # bf16 — forward/backward read half the weight bytes and gradients are
+    # written/read in bf16 — while the Adam update math stays f32 and the
+    # new parameters are written back with STOCHASTIC ROUNDING (unbiased:
+    # E[round(x)] = x), so sub-ulp updates (lr 1e-4 steps against O(0.1)
+    # weights are ~10x below the bf16 ulp) accumulate in expectation instead
+    # of being lost to round-to-nearest.  No f32 master copy is kept — that
+    # is the point: the param-HBM-bound bs-8 step sheds the master's 2P
+    # read+write too (BASELINE.md round-5 byte audit).  Composes with
+    # moment_dtype=bfloat16 (the max-perf mode).  Convergence-tested against
+    # the f32 trajectory in tests/test_train_step.py; requires
+    # none_grad_skip=True (the default — the SR write lives in the fused
+    # torch-semantics optimizer).
+    param_dtype: str = "float32"
     # torch skips a parameter whose .grad is None — no moment update, no
     # weight decay, and a PER-PARAMETER Adam step count that only starts
     # once a real gradient arrives.  In the reference this matters: below
@@ -133,6 +147,13 @@ class LatentOptConfig:
     # only touches training — without the distinct name, setting the training
     # perf mode silently degraded eval-time solves too
     opt_moment_dtype: str = "float32"
+    # Storage dtype of the per-window decoder CLONE inside the solve (see
+    # OptimConfig.param_dtype — same stochastic-rounding write-back).  The
+    # per-window fine-tune phase is bound by clone weight+moment HBM traffic
+    # (~82 MB x windows per iteration at f32, BASELINE.md); "bfloat16"
+    # halves the weight share.  The frozen decoder remainder and the z
+    # variables stay f32.  Quality A/B: BASELINE.md "solver bf16 clone".
+    opt_param_dtype: str = "float32"
     # which decoder subtree the fine-tune phase clones/optimizes:
     #   "full"      — every decoder tensor (the reference's deepcopy; default)
     #   "last_conv" — only the final skeleton-conv block (~5 of 27.6 MB on the

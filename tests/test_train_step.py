@@ -131,6 +131,108 @@ def test_bf16_moments_update_precision():
     assert np.median(err / scale) < 0.01, float(np.median(err / scale))
 
 
+def test_stochastic_round_bf16_unbiased_and_on_grid():
+    """SR must land on one of the two adjacent bf16 values with the right
+    expectation (E[round(x)] == x) — the property that lets sub-ulp Adam
+    updates accumulate in bf16-stored parameters."""
+    from hm_vae_tpu.train.optim import stochastic_round_bf16
+
+    x = jnp.full((200_000,), 0.1001, jnp.float32)
+    r = np.asarray(stochastic_round_bf16(x, jax.random.PRNGKey(0)))
+    lo = np.float32(jnp.asarray(0.1001, jnp.bfloat16))  # nearest-below/above
+    vals = np.unique(r)
+    # every output is one of the two bf16 neighbours
+    assert len(vals) == 2 and np.isclose(vals, lo, rtol=0.01).any()
+    assert np.float32(vals[0]) < 0.1001 < np.float32(vals[1])
+    # unbiased to Monte-Carlo precision (ulp/sqrt(N) ~ 1e-6)
+    assert abs(r.mean() - 0.1001) < 5e-6
+    # negative values: magnitude walks the same grid, sign preserved
+    rn = np.asarray(stochastic_round_bf16(-x, jax.random.PRNGKey(1)))
+    assert abs(rn.mean() + 0.1001) < 5e-6 and (rn < 0).all()
+    # exactly-representable values pass through untouched
+    ex = jnp.asarray([0.0, 1.0, -0.5, 2.0], jnp.float32)
+    np.testing.assert_array_equal(
+        np.asarray(stochastic_round_bf16(ex, jax.random.PRNGKey(2))),
+        np.asarray(ex))
+
+
+def test_bf16_params_accumulate_subulp_updates():
+    """param_dtype=bfloat16: updates ~10x below the bf16 ulp must still move
+    the parameter in expectation (deterministic rounding would freeze it)."""
+    tx = make_optimizer(OptimConfig(lr=1e-4, weight_decay=0.0,
+                                    lr_policy="constant",
+                                    param_dtype="bfloat16"))
+    p = jnp.full((4096,), 0.5, jnp.bfloat16)   # ulp(0.5) = 2^-9 ~ 2e-3
+    st = tx.init(p)
+    g = jnp.full((4096,), 1.0, jnp.bfloat16)
+    for _ in range(50):
+        u, st = tx.update(g, st, p)
+        p = optax.apply_updates(p, u)
+    # Adam unit step: 50 steps x 1e-4 -> E[p] ~ 0.495; each single step is
+    # ~20x below the ulp.  Mean over 4096 lanes tightens the MC noise.
+    drift = 0.5 - float(jnp.mean(p.astype(jnp.float32)))
+    assert 0.003 < drift < 0.007, drift
+    assert p.dtype == jnp.bfloat16
+
+
+def test_bf16_params_track_f32_training():
+    """param_dtype=bfloat16 (+bf16 moments — the max-perf storage mode) must
+    follow the f32 loss trajectory on a short real training run."""
+    import dataclasses
+
+    def run(param_dtype):
+        cfg = dataclasses.replace(
+            TINY, optim=dataclasses.replace(
+                TINY.optim, lr=1e-3, param_dtype=param_dtype,
+                moment_dtype=("bfloat16" if param_dtype == "bfloat16"
+                              else "float32")))
+        model = HMVAE(cfg.model)
+        state = create_state(model, cfg, jax.random.PRNGKey(0))
+        step_fn = jax.jit(make_train_step(model, cfg))
+        batch = synth_batch(jax.random.PRNGKey(1), 4, 8)
+        losses = []
+        for i in range(40):
+            state, metrics = step_fn(state, batch, jax.random.PRNGKey(100 + i))
+            losses.append(float(metrics["loss_total"]))
+        return np.asarray(losses), state
+
+    f32, _ = run("float32")
+    bf16, st16 = run("bfloat16")
+    assert all(l.dtype == jnp.bfloat16 for l in jax.tree.leaves(st16.params))
+    assert bf16[-1] < f32[0] * 0.9
+    assert abs(bf16[-10:].mean() - f32[-10:].mean()) < 0.15 * f32[-10:].mean()
+
+
+def test_bf16_params_require_none_grad_skip():
+    with pytest.raises(ValueError):
+        make_optimizer(OptimConfig(param_dtype="bfloat16",
+                                   none_grad_skip=False))
+    with pytest.raises(ValueError):
+        make_optimizer(OptimConfig(param_dtype="float64"))
+
+
+def test_bf16_params_none_grad_skip_freezes_untouched():
+    """The torch grad-None skip semantics survive the SR write-back: a leaf
+    with an identically-zero gradient must stay bit-frozen (no SR jitter)."""
+    tx = make_optimizer(OptimConfig(lr=1e-2, weight_decay=1e-2,
+                                    lr_policy="constant",
+                                    param_dtype="bfloat16"))
+    params = {"live": jnp.full((64,), 0.7, jnp.bfloat16),
+              "dead": jnp.full((64,), 0.7, jnp.bfloat16)}
+    st = tx.init(params)
+    # 0.7 is not bf16-representable — freeze means "bit-equal to the stored
+    # initial value", i.e. bf16(0.7), not the f32 literal
+    dead0 = np.asarray(params["dead"].astype(jnp.float32)).copy()
+    for i in range(10):
+        g = {"live": jnp.full((64,), 0.3, jnp.bfloat16),
+             "dead": jnp.zeros((64,), jnp.bfloat16)}
+        u, st = tx.update(g, st, params)
+        params = optax.apply_updates(params, u)
+    np.testing.assert_array_equal(
+        np.asarray(params["dead"].astype(jnp.float32)), dead0)
+    assert float(jnp.mean(params["live"].astype(jnp.float32))) < float(dead0[0])
+
+
 def test_kl_normal_zero_at_standard():
     mu = jnp.zeros((4, 6))
     logvar = jnp.zeros((4, 6))
