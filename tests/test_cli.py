@@ -7,6 +7,7 @@ import numpy as np
 import pytest
 
 
+@pytest.mark.slow
 def test_train_cli_end_to_end(tmp_path):
     import yaml
 
@@ -199,6 +200,7 @@ def test_eval_trajectory_cli(tmp_path):
     np.testing.assert_allclose(arr_st, arr, rtol=2e-4, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_eval_completion_single_window_cli(tmp_path):
     """--final_motion_completion: the intended single-window API with random
     per-frame joint masks (eval_partial_motion_recovery.py:60-61, 117-127),
@@ -281,6 +283,7 @@ def test_eval_interpolation_single_window_cli(tmp_path):
               "--try_interpolation_w_trajectory_single_window"])
 
 
+@pytest.mark.slow
 def test_eval_completion_long_seq_cli_batched(tmp_path):
     """--final_motion_completion_long_seq over the full test split: the
     batched-across-sequences completion path (apps.complete_many)."""
@@ -373,6 +376,7 @@ def test_eval_reconstruction_cli(tmp_path):
                                    err_msg=k)
 
 
+@pytest.mark.slow
 def test_eval_recovery_cli_data_parallel_matches_single(tmp_path):
     """--data_parallel 8 on the virtual CPU mesh: the eval CLI's summary
     metrics match the single-device run (windows are independent solves; the

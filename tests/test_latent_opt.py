@@ -250,6 +250,7 @@ def test_interpolation_multi_restart():
     assert np.isfinite(np.asarray(out3["rot_6d"])).all()
 
 
+@pytest.mark.slow
 def test_final_loss_selection_consistency():
     """final_loss must rank restarts consistently with the masked objective."""
     from hm_vae_tpu.apps.tasks import _targets_from_rotmat
@@ -390,6 +391,7 @@ def test_complete_many_rejects_short_sequences():
         apps.complete_many(seqs, jax.random.PRNGKey(5), missing="lower")
 
 
+@pytest.mark.slow
 def test_per_window_solve_matches_independent_single_window_solves():
     """per_window_decoder=True (default): a batched solve is EXACTLY B
     independent per-window solves — own z trajectory, own decoder clone +
@@ -424,6 +426,7 @@ def test_per_window_solve_matches_independent_single_window_solves():
                                    float(res1.final_loss[0]), rtol=0.05)
 
 
+@pytest.mark.slow
 def test_shared_decoder_mode_still_available():
     """per_window_decoder=False restores the round-2 shared-clone batched
     formulation (documented throughput trade)."""
@@ -505,6 +508,7 @@ def test_finetune_scope_rejects_unknown():
         solve(params, targets, mask, z, jax.tree.map(jnp.zeros_like, z))
 
 
+@pytest.mark.slow
 def test_mesh_sharded_solve_matches_unsharded():
     """LatentOptApps(mesh=...): the window batch shards over the data axis
     under GSPMD and reproduces the single-device result (windows are

@@ -124,6 +124,7 @@ def test_trainer_fit_through_to_global(tmp_path):
                                        "metrics.jsonl"))
 
 
+@pytest.mark.slow
 def test_two_process_distributed_training_e2e(tmp_path):
     """REAL multi-host path: two OS processes, each with 2 virtual CPU
     devices, wired by jax.distributed (Gloo collectives) through the
@@ -206,6 +207,7 @@ def test_two_process_distributed_training_e2e(tmp_path):
         assert "Resume from iteration 4" in log
 
 
+@pytest.mark.slow
 def test_two_process_synthetic_generation_and_viz(tmp_path):
     """Two multi-host sharp edges in one real 2-process run:
 
@@ -273,6 +275,7 @@ def test_two_process_synthetic_generation_and_viz(tmp_path):
     assert os.path.isdir(img_dir) and os.listdir(img_dir)
 
 
+@pytest.mark.slow
 def test_two_process_reconstruction_matches_single(tmp_path):
     """eval_recovery --test_model_rec --data_parallel over a real 2-process
     cluster: window batches assemble via make_array_from_process_local_data
@@ -339,6 +342,7 @@ def test_two_process_reconstruction_matches_single(tmp_path):
         np.testing.assert_allclose(pod[k], ref[k], rtol=1e-5, err_msg=k)
 
 
+@pytest.mark.slow
 def test_two_process_distributed_eval_matches_single(tmp_path):
     """Pod-scale flagship workload: eval_recovery --data_parallel over a
     real two-process jax.distributed cluster — each process contributes its

@@ -88,6 +88,7 @@ def test_apply_bitwise_equal_across_layouts(cfg_d, cfg_c):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.slow
 def test_gradients_equal_at_live_entries():
     cfg = Config(model=CFG_D, loss=LossConfig(iteration_interval=5))
     cfg_c = dataclasses.replace(cfg, model=CFG_C)
@@ -125,6 +126,7 @@ def test_gradients_equal_at_live_entries():
                                        err_msg=str(pc))
 
 
+@pytest.mark.slow
 def test_train_trajectory_identical():
     """5 Adam steps: losses and live-entry params match the dense layout."""
     cfg = Config(model=CFG_D, loss=LossConfig(iteration_interval=3),
@@ -341,3 +343,60 @@ def test_cross_layout_resume_full_state(tmp_path):
         assert str(pa) == str(pb)
         np.testing.assert_allclose(np.asarray(la), np.asarray(lb),
                                    atol=2e-6, rtol=2e-5, err_msg=str(pa))
+
+
+def test_run_gather_order_matches_dense_all_sparse_levels():
+    """ADVICE r4: the run-granularity gather's load-bearing invariant —
+    weight_c row-major order == run-major order, so
+    ``w_c.reshape(n_runs, run_w, k)`` maps rows to runs — pinned over EVERY
+    sparse level of the flagship model (run_w 6..48), not just level 0:
+    expander(w_c) must equal the numpy densify and the custom-vjp gradient
+    must equal the dense gradient at the live entries."""
+    st = get_structure(FLAG_D)
+    rng = np.random.RandomState(7)
+    checked = 0
+    for lvl in list(st.encoder_levels) + list(st.decoder_levels):
+        spec = lvl.conv
+        if spec.mask.all():
+            continue
+        meta = pl.compact_meta(spec)
+        assert meta.run_w > 1          # every flagship sparse level is blocky
+        wc = rng.randn(meta.n_live, spec.kernel_size).astype(np.float32)
+        ex = pl.expander(spec)
+        np.testing.assert_array_equal(
+            np.asarray(ex(jnp.asarray(wc))),
+            pl.dense_from_compact(wc, spec))
+        g = rng.randn(spec.out_channels, spec.in_channels,
+                      spec.kernel_size).astype(np.float32)
+        (gc,) = jax.vjp(ex, jnp.asarray(wc))[1](jnp.asarray(g))
+        np.testing.assert_array_equal(np.asarray(gc),
+                                      g[spec.mask.astype(bool)])
+        checked += 1
+    assert checked == 6
+
+
+def test_run_gather_irregular_mask_run_w_1():
+    """An irregular (non-block-constant) mask must fall back to run_w=1 and
+    stay exact — the expander's correctness cannot depend on the
+    SkeletonConv mask's block structure."""
+    from hm_vae_tpu.models.structure import ConvSpec
+
+    rng = np.random.RandomState(3)
+    c_out, c_in, k = 10, 9, 3
+    mask = (rng.rand(c_out, c_in) > 0.4)
+    mask[0] = True          # keep at least one fully-live row
+    mask[1] = False
+    mask[1, 4] = True       # and a nearly-dead one
+    spec = ConvSpec(in_channels=c_in, out_channels=c_out, kernel_size=k,
+                    stride=1, padding=1, padding_mode="reflect", bias=True,
+                    mask=mask.astype(np.float32),
+                    block_bounds=np.ones(5, np.float32), n_edges=5)
+    meta = pl.compact_meta(spec)
+    assert meta.run_w == 1 and meta.n_runs == meta.n_live
+    wc = rng.randn(meta.n_live, k).astype(np.float32)
+    ex = pl.expander(spec)
+    np.testing.assert_array_equal(np.asarray(ex(jnp.asarray(wc))),
+                                  pl.dense_from_compact(wc, spec))
+    g = rng.randn(c_out, c_in, k).astype(np.float32)
+    (gc,) = jax.vjp(ex, jnp.asarray(wc))[1](jnp.asarray(g))
+    np.testing.assert_array_equal(np.asarray(gc), g[mask])

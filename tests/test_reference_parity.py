@@ -201,6 +201,7 @@ def test_gradient_parity_vs_real_reference(iters, extra_conv):
     assert compared >= 16  # 8 convs + biases + 8 latent linears
 
 
+@pytest.mark.slow
 def test_training_trajectory_parity_vs_real_reference():
     """~40 identical Adam+StepLR steps on cycling batches: loss curves of the
     real reference and this framework must coincide step by step.

@@ -3,6 +3,7 @@
 import glob
 import os
 
+import pytest
 import numpy as np
 import jax
 
@@ -181,6 +182,7 @@ def test_nan_guard_raises_when_checkpoint_itself_is_corrupt(tmp_path):
         trainer.fit(train_ds, None, max_iter=6)
 
 
+@pytest.mark.slow
 def test_float16_transfer_mode(tmp_path):
     """transfer_dtype=float16 trains with near-identical losses to f32."""
     import dataclasses
