@@ -72,6 +72,17 @@ def main(argv=None):
                         "'last_conv'/'heads' freeze the rest — 5x/200x less "
                         "per-window clone HBM traffic (BASELINE.md "
                         "'fine-tune scope')")
+    p.add_argument("--opt_param_dtype", default=None,
+                   choices=["float32", "bfloat16"],
+                   help="storage dtype of the per-window decoder clone in "
+                        "the solve (latent_opt.opt_param_dtype); bfloat16 "
+                        "halves the clone-weight HBM stream via stochastic-"
+                        "rounding write-back (quality A/B: BASELINE.md "
+                        "'solver bf16 clone')")
+    p.add_argument("--opt_moment_dtype", default=None,
+                   choices=["float32", "bfloat16"],
+                   help="solver Adam moment storage dtype "
+                        "(latent_opt.opt_moment_dtype)")
 
     p.add_argument("--final_motion_completion_long_seq", action="store_true")
     p.add_argument("--final_try_long_seq_interpolation", action="store_true")
@@ -123,6 +134,16 @@ def main(argv=None):
         cfg = dataclasses.replace(
             cfg, latent_opt=dataclasses.replace(
                 cfg.latent_opt, finetune_scope=args.finetune_scope))
+    if args.opt_param_dtype or args.opt_moment_dtype:
+        import dataclasses
+
+        lat_kw = {}
+        if args.opt_param_dtype:
+            lat_kw["opt_param_dtype"] = args.opt_param_dtype
+        if args.opt_moment_dtype:
+            lat_kw["opt_moment_dtype"] = args.opt_moment_dtype
+        cfg = dataclasses.replace(
+            cfg, latent_opt=dataclasses.replace(cfg.latent_opt, **lat_kw))
 
     model_name = os.path.splitext(os.path.basename(args.config))[0]
     if args.final_try_long_seq_interpolation:

@@ -29,6 +29,8 @@ def main():
     ap.add_argument("--calls", type=int, default=6)
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--moment_dtype", default="float32")
+    ap.add_argument("--param_dtype", default="float32",
+                    help="float32 | bfloat16 (SR write-back, train/optim.py)")
     ap.add_argument("--compute_dtype", default="float32")
     ap.add_argument("--param_layout", default="dense",
                     help="dense | compact (models/param_layout.py)")
@@ -53,7 +55,8 @@ def main():
         model=ModelConfig(latent_d=24, shallow_latent_d=12, kernel_size=15,
                           train_seq_len=64, compute_dtype=args.compute_dtype,
                           param_layout=args.param_layout),
-        optim=OptimConfig(moment_dtype=args.moment_dtype))
+        optim=OptimConfig(moment_dtype=args.moment_dtype,
+                          param_dtype=args.param_dtype))
     model = HMVAE(cfg.model)
     B, K, C = args.batch, args.k, args.calls
 
@@ -130,7 +133,8 @@ def main():
     def fwd_bwd(p0):
         def body(p, i):
             g = jax.grad(loss_fn)(p, i)
-            return jax.tree.map(lambda a, c: a + 1e-20 * c, p, g), None
+            return jax.tree.map(
+                lambda a, c: a + (1e-20 * c).astype(a.dtype), p, g), None
         p, _ = jax.lax.scan(body, p0, jnp.arange(K))
         return p
 
@@ -150,6 +154,47 @@ def main():
 
     results["adam_only_us"] = timeit(adam_only, (params, opt0))
 
+    # ---- weight prep only: the per-call weight transform for all 8 convs —
+    # dense: mask-mul + pool/unpool fold; compact: expander gather + fold
+    # (mirrors SkeletonConv.__call__, models/hm_vae.py).  In --quick too:
+    # this is the number that gates the compact-layout / fused-Pallas
+    # decision (NEXT.md) ----
+    from hm_vae_tpu.models import param_layout as pl
+    from hm_vae_tpu.models.structure import get_structure
+    st_meta = get_structure(cfg.model)
+
+    def wprep(p0):
+        def body(p, _):
+            acc = 0.0
+            pt = p["params"]
+            for scope, levels, fold in (
+                ("encoder", st_meta.encoder_levels, "pool"),
+                ("decoder", st_meta.decoder_levels, "unpool"),
+            ):
+                for i, lvl in enumerate(levels):
+                    leaf = pt[scope][f"conv_{i}"]
+                    if pl.is_compact_spec(lvl.conv, args.param_layout):
+                        wm = pl.expander(lvl.conv)(leaf["weight_c"])
+                    elif lvl.conv.mask.all():
+                        wm = leaf["weight"]
+                    else:
+                        wm = leaf["weight"] * jnp.asarray(
+                            lvl.conv.mask)[:, :, None]
+                    if fold == "pool" and lvl.pool_matrix is not None:
+                        P = jnp.asarray(lvl.pool_matrix, wm.dtype)
+                        wm = jnp.einsum("qo,ock->qck", P, wm)
+                    if fold == "unpool" and getattr(lvl, "unpool_matrix",
+                                                    None) is not None:
+                        U = jnp.asarray(lvl.unpool_matrix, wm.dtype)
+                        wm = jnp.einsum("ock,cp->opk", wm, U)
+                    acc = acc + jnp.sum(wm ** 2)
+            return jax.tree.map(
+                lambda x: x + (1e-20 * acc).astype(x.dtype), p), None
+        p, _ = jax.lax.scan(body, p0, None, length=K)
+        return p
+
+    results["weight_prep_us"] = timeit(wprep, params)
+
     if args.quick:
         floor = results["empty_scan_us"]
         results = {k: round(v, 1) for k, v in results.items()}
@@ -157,6 +202,7 @@ def main():
                           if k.endswith("_us") and k != "empty_scan_us"}
         results.update(batch=B, steps_per_dispatch=K, calls=C,
                        moment_dtype=args.moment_dtype,
+                       param_dtype=args.param_dtype,
                        compute_dtype=args.compute_dtype,
                        param_layout=args.param_layout)
         print(json.dumps(results))
@@ -199,7 +245,8 @@ def main():
 
         def body(p, _):
             g = jax.grad(eloss)(p)
-            return jax.tree.map(lambda a, c: a + 1e-20 * c, p, g), None
+            return jax.tree.map(
+                lambda a, c: a + (1e-20 * c).astype(a.dtype), p, g), None
         p, _ = jax.lax.scan(body, p0, None, length=K)
         return p
 
@@ -215,40 +262,12 @@ def main():
 
         def body(p, _):
             g = jax.grad(dloss)(p)
-            return jax.tree.map(lambda a, c: a + 1e-20 * c, p, g), None
+            return jax.tree.map(
+                lambda a, c: a + (1e-20 * c).astype(a.dtype), p, g), None
         p, _ = jax.lax.scan(body, p0, None, length=K)
         return p
 
     results["decoder_fwd_bwd_us"] = timeit(dec_only, params)
-
-    # ---- weight prep only: mask-mul + pool/unpool fold, all 8 convs ----
-    from hm_vae_tpu.models.structure import get_structure
-    st_meta = get_structure(cfg.model)
-
-    def wprep(p0):
-        def body(p, _):
-            acc = 0.0
-            pt = p["params"]
-            for scope, levels, fold in (
-                ("encoder", st_meta.encoder_levels, "pool"),
-                ("decoder", st_meta.decoder_levels, "unpool"),
-            ):
-                for i, lvl in enumerate(levels):
-                    w = pt[scope][f"conv_{i}"]["weight"]
-                    wm = w * jnp.asarray(lvl.conv.mask)[:, :, None]
-                    if fold == "pool" and lvl.pool_matrix is not None:
-                        P = jnp.asarray(lvl.pool_matrix, wm.dtype)
-                        wm = jnp.einsum("qo,ock->qck", P, wm)
-                    if fold == "unpool" and getattr(lvl, "unpool_matrix",
-                                                    None) is not None:
-                        U = jnp.asarray(lvl.unpool_matrix, wm.dtype)
-                        wm = jnp.einsum("ock,cp->opk", wm, U)
-                    acc = acc + jnp.sum(wm ** 2)
-            return jax.tree.map(lambda x: x + 1e-20 * acc, p), None
-        p, _ = jax.lax.scan(body, p0, None, length=K)
-        return p
-
-    results["weight_prep_us"] = timeit(wprep, params)
 
     floor = results["empty_scan_us"]
     results = {k: round(v, 1) for k, v in results.items()}
