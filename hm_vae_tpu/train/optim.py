@@ -63,12 +63,40 @@ def stochastic_round_bf16(x32: jnp.ndarray, key: jax.Array) -> jnp.ndarray:
     return jax.lax.bitcast_convert_type(bits, jnp.float32)
 
 
-def _leaf_keys(base_key, tree):
-    """One PRNG key per leaf (deterministic: fold_in by flatten order)."""
-    leaves, treedef = jax.tree.flatten(tree)
-    return jax.tree.unflatten(
-        treedef, [jax.random.fold_in(base_key, i)
-                  for i in range(len(leaves))])
+def _hash_bits16(shape, salt, count):
+    """16 uniform bits per element from a murmur3-finalized counter hash.
+
+    The SR write-back needs fresh low-quality uniformity per (element, step),
+    fused into the Adam elementwise kernel.  threefry (jax.random.bits) costs
+    >100 ops/element and measurably made the bf16-param step COMPUTE-bound
+    (chip r5: 7.6k vs 8.0k seqs/s f32 — the RNG ate the halved-HBM win);
+    this is 9 VPU ops/element.  Distinct streams per element (iota), per
+    leaf (salt) and per step (count); murmur3's finalizer avalanches all
+    input bits into the low 16 (unbiasedness is pinned by
+    tests/test_train_step.py::test_stochastic_round_bf16_unbiased_and_on_grid).
+    """
+    n = 1
+    for d in shape:
+        n *= int(d)
+    h = (jax.lax.iota(jnp.uint32, n)
+         + jnp.uint32(salt) * jnp.uint32(0x9E3779B1)
+         + count.astype(jnp.uint32) * jnp.uint32(0x85EBCA6B))
+    h ^= h >> 16
+    h *= jnp.uint32(0x85EBCA6B)
+    h ^= h >> 13
+    h *= jnp.uint32(0xC2B2AE35)
+    h ^= h >> 16
+    return (h & jnp.uint32(0xFFFF)).reshape(shape)
+
+
+def stochastic_round_bf16_hash(x32: jnp.ndarray, salt: int,
+                               count: jnp.ndarray) -> jnp.ndarray:
+    """``stochastic_round_bf16`` with the cheap counter-hash bit source
+    (same rounding mechanism; see that docstring for the SR bit trick)."""
+    bits = jax.lax.bitcast_convert_type(x32.astype(jnp.float32), jnp.uint32)
+    r = _hash_bits16(x32.shape, salt, count)
+    bits = (bits + r) & jnp.uint32(0xFFFF0000)
+    return jax.lax.bitcast_convert_type(bits, jnp.float32)
 
 
 class SRState(NamedTuple):
@@ -100,17 +128,18 @@ def stochastic_round_updates(param_dtype: str = "bfloat16"):
         if params is None:
             raise ValueError("stochastic_round_updates needs params")
         count = state.count + 1
-        keys = _leaf_keys(jax.random.PRNGKey(0), params)
-        keys = jax.tree.map(
-            lambda k: jax.random.fold_in(k, count), keys)
+        leaves_u, treedef = jax.tree.flatten(updates)
+        leaves_p = jax.tree.leaves(params)
 
-        def one(u, p, k):
+        def one(i, u, p):
             p32 = p.astype(jnp.float32)
-            sr = stochastic_round_bf16(p32 + u.astype(jnp.float32), k)
+            sr = stochastic_round_bf16_hash(
+                p32 + u.astype(jnp.float32), i + 1, count)
             return sr - p32
 
-        return (jax.tree.map(one, updates, params, keys),
-                SRState(count))
+        out = [one(i, u, p)
+               for i, (u, p) in enumerate(zip(leaves_u, leaves_p))]
+        return jax.tree.unflatten(treedef, out), SRState(count)
 
     return optax.GradientTransformation(init, update)
 
@@ -221,7 +250,7 @@ def torch_adam_l2(cfg: OptimConfig) -> optax.GradientTransformation:
         gcount = state.count + 1
         lr = sched(state.count)
 
-        def one(g, p, m, v, c, k):
+        def one(g, p, m, v, c, salt):
             touched = jnp.any(g != 0)
             g32 = g.astype(jnp.float32)
             p32 = p.astype(jnp.float32)
@@ -237,8 +266,10 @@ def torch_adam_l2(cfg: OptimConfig) -> optax.GradientTransformation:
             if param_sr:
                 # f32 update delta whose application under apply_updates'
                 # promote-then-cast lands exactly on the stochastically
-                # rounded bf16 value (see stochastic_round_updates)
-                u = stochastic_round_bf16(p32 + u, k) - p32
+                # rounded bf16 value (see stochastic_round_updates); the
+                # counter-hash bit source keeps the step HBM-bound (threefry
+                # measurably made it compute-bound — _hash_bits16)
+                u = stochastic_round_bf16_hash(p32 + u, salt, gcount) - p32
             else:
                 u = u.astype(p.dtype)
             zero = jnp.zeros_like(u)
@@ -248,9 +279,13 @@ def torch_adam_l2(cfg: OptimConfig) -> optax.GradientTransformation:
                     cn)
 
         if param_sr:
-            keys = _leaf_keys(jax.random.PRNGKey(gcount), params)
-            out = jax.tree.map(one, grads, params, state.mu, state.nu,
-                               state.counts, keys)
+            leaves_g, treedef = jax.tree.flatten(grads)
+            zipped = zip(leaves_g, jax.tree.leaves(params),
+                         jax.tree.leaves(state.mu), jax.tree.leaves(state.nu),
+                         jax.tree.leaves(state.counts))
+            out = jax.tree.unflatten(
+                treedef, [one(g, p, m, v, c, i + 1)
+                          for i, (g, p, m, v, c) in enumerate(zipped)])
         else:
             out = jax.tree.map(
                 lambda g, p, m, v, c: one(g, p, m, v, c, None),

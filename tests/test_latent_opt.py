@@ -565,3 +565,45 @@ def test_mesh_sharded_solve_matches_unsharded():
     res = dp._dispatch(dp.solve, tgt, mask, z,
                        jax.tree.map(jnp.zeros_like, z))
     assert len(res.last_6d.sharding.device_set) == 8
+
+
+def test_bf16_clone_solve_tracks_f32():
+    """opt_param_dtype=bfloat16 stores the per-window decoder CLONE in bf16
+    (stochastic-rounding write-back) — the solve must converge to the same
+    neighbourhood as the f32 clone: finite history, comparable final loss,
+    and close masked-loss outputs."""
+    import dataclasses
+
+    model, params = _model_and_params()
+    from hm_vae_tpu.apps.tasks import _targets_from_rotmat
+    mats = _rand_rotmat_seq(jax.random.PRNGKey(1), 8)[None]
+    targets = _targets_from_rotmat(mats)
+    mask = np.ones((1, 8, 24), np.float32)
+    mask[:, 2:6, :] = 0.0
+    z = init_z(jax.random.PRNGKey(2), CFG, 1)
+    zr = jax.tree.map(jnp.zeros_like, z)
+
+    def run(dtype):
+        lat = dataclasses.replace(CFG.latent_opt, opt_param_dtype=dtype,
+                                  opt_moment_dtype=dtype
+                                  if dtype == "bfloat16" else "float32")
+        res = make_latent_optimizer(model, CFG, lat=lat)(
+            params, targets, jnp.asarray(mask), z, zr)
+        return np.asarray(res.loss_history), np.asarray(res.final_loss)
+
+    h32, f32_loss = run("float32")
+    h16, bf16_loss = run("bfloat16")
+    assert np.isfinite(h16).all()
+    # both descend, and the bf16 clone lands within 10% of the f32 objective
+    assert h16[-1] < h16[0] * 0.9
+    assert abs(h16[-1] - h32[-1]) < 0.10 * h32[-1], (h16[-1], h32[-1])
+    assert abs(bf16_loss - f32_loss).max() < 0.15 * abs(f32_loss).max()
+
+
+def test_bf16_clone_rejects_unknown_dtype():
+    import dataclasses
+
+    model, params = _model_and_params()
+    lat = dataclasses.replace(CFG.latent_opt, opt_param_dtype="float64")
+    with pytest.raises(ValueError):
+        make_latent_optimizer(model, CFG, lat=lat)

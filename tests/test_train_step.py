@@ -131,14 +131,27 @@ def test_bf16_moments_update_precision():
     assert np.median(err / scale) < 0.01, float(np.median(err / scale))
 
 
-def test_stochastic_round_bf16_unbiased_and_on_grid():
+@pytest.mark.parametrize("source", ["threefry", "hash"])
+def test_stochastic_round_bf16_unbiased_and_on_grid(source):
     """SR must land on one of the two adjacent bf16 values with the right
     expectation (E[round(x)] == x) — the property that lets sub-ulp Adam
-    updates accumulate in bf16-stored parameters."""
-    from hm_vae_tpu.train.optim import stochastic_round_bf16
+    updates accumulate in bf16-stored parameters.  Both bit sources: the
+    threefry reference and the cheap counter-hash the optimizer actually
+    uses (_hash_bits16 — 9 VPU ops/element vs threefry's >100, which made
+    the bf16-param step compute-bound on the chip)."""
+    from hm_vae_tpu.train.optim import (stochastic_round_bf16,
+                                        stochastic_round_bf16_hash)
+
+    if source == "threefry":
+        def sr(x, i):
+            return stochastic_round_bf16(x, jax.random.PRNGKey(i))
+    else:
+        def sr(x, i):
+            return stochastic_round_bf16_hash(x, i + 1,
+                                              jnp.asarray(7, jnp.int32))
 
     x = jnp.full((200_000,), 0.1001, jnp.float32)
-    r = np.asarray(stochastic_round_bf16(x, jax.random.PRNGKey(0)))
+    r = np.asarray(sr(x, 0))
     lo = np.float32(jnp.asarray(0.1001, jnp.bfloat16))  # nearest-below/above
     vals = np.unique(r)
     # every output is one of the two bf16 neighbours
@@ -147,13 +160,23 @@ def test_stochastic_round_bf16_unbiased_and_on_grid():
     # unbiased to Monte-Carlo precision (ulp/sqrt(N) ~ 1e-6)
     assert abs(r.mean() - 0.1001) < 5e-6
     # negative values: magnitude walks the same grid, sign preserved
-    rn = np.asarray(stochastic_round_bf16(-x, jax.random.PRNGKey(1)))
+    rn = np.asarray(sr(-x, 1))
     assert abs(rn.mean() + 0.1001) < 5e-6 and (rn < 0).all()
     # exactly-representable values pass through untouched
     ex = jnp.asarray([0.0, 1.0, -0.5, 2.0], jnp.float32)
-    np.testing.assert_array_equal(
-        np.asarray(stochastic_round_bf16(ex, jax.random.PRNGKey(2))),
-        np.asarray(ex))
+    np.testing.assert_array_equal(np.asarray(sr(ex, 2)), np.asarray(ex))
+    if source == "hash":
+        # per-step decorrelation at a mid-grid value (P(up) ~ 0.5, so two
+        # independent draws should disagree ~50% of the time); 0.1001 sits
+        # ~0.5% above its bf16 neighbour, where the expected differ rate is
+        # only 2p(1-p) ~ 1% — not a usable signal
+        lo32 = np.float32(jnp.asarray(0.1001, jnp.bfloat16))
+        mid = jnp.full((200_000,), lo32 + 2.0 ** -12 * 0.5, jnp.float32)
+        a = np.asarray(stochastic_round_bf16_hash(
+            mid, 1, jnp.asarray(7, jnp.int32)))
+        b = np.asarray(stochastic_round_bf16_hash(
+            mid, 1, jnp.asarray(8, jnp.int32)))
+        assert 0.3 < (a != b).mean() < 0.7, (a != b).mean()
 
 
 def test_bf16_params_accumulate_subulp_updates():
