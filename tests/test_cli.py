@@ -38,6 +38,7 @@ def test_train_cli_end_to_end(tmp_path):
           "--max_iter", "14"])
 
 
+@pytest.mark.slow
 def test_eval_recovery_cli(tmp_path):
     import yaml
 
@@ -235,6 +236,7 @@ def test_eval_completion_single_window_cli(tmp_path):
     assert len(rots) == summary["num_seqs"]
 
 
+@pytest.mark.slow
 def test_eval_interpolation_single_window_cli(tmp_path):
     """--try_interpolation_w_trajectory_single_window: the intended
     single-window interpolation API (eval_partial_motion_recovery.py:96-103)

@@ -10,6 +10,7 @@ distributionally.
 import dataclasses
 import os
 
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -93,6 +94,7 @@ def test_aa_wire_aug_consistent_with_rotmat_aug(tmp_path):
                                atol=2e-4)
 
 
+@pytest.mark.slow
 def test_distributional_loss_parity_device_vs_numpy_aug(tmp_path):
     """Fixed params, many batches: mean VAE loss under device-side aug
     matches the numpy-aug path (same data, independent rotation draws) —

@@ -1,6 +1,7 @@
 """Serving-export tests: StableHLO bundle round-trip, symbolic batch/time
 dims, manifest contents (hm_vae_tpu/apps/export.py)."""
 
+import pytest
 import json
 import os
 
@@ -80,6 +81,7 @@ def test_bundle_round_trip_matches_direct_inference(tmp_path):
         np.testing.assert_allclose(np.asarray(g), np.asarray(w), atol=1e-5)
 
 
+@pytest.mark.slow
 def test_symbolic_batch_serves_multiple_sizes(tmp_path):
     model, params = _vae()
     out_dir = str(tmp_path / "bundle")
@@ -183,6 +185,7 @@ def test_export_cli_end_to_end(tmp_path):
     assert got6d.shape == (2, 8, 24, 6)
 
 
+@pytest.mark.slow
 def test_bf16_serving_bundle_smaller_and_close(tmp_path):
     model, params = _vae()
     d32 = str(tmp_path / "f32")

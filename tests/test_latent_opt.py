@@ -148,6 +148,7 @@ def test_interpolate_many_batches_across_sequences():
                 atol=1e-5)
 
 
+@pytest.mark.slow
 def test_generate_many_matches_single_and_batches():
     """generate_many: with ONE seed it draws the same z stream as generate()
     (same fold_in, B=1), so outputs agree up to solver chaos — the two paths
@@ -238,6 +239,7 @@ def test_interpolation_with_trajectory_loss():
     assert np.isfinite(np.asarray(out["loss_history"])).all()
 
 
+@pytest.mark.slow
 def test_interpolation_multi_restart():
     model, params = _model_and_params()
     apps = LatentOptApps(model, params, CFG)

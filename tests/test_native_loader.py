@@ -222,6 +222,7 @@ def test_aa_sidecar_near_pi_robust(tmp_path):
         recon, np.broadcast_to(mats, (2, T, 24, 3, 3)), atol=5e-5)
 
 
+@pytest.mark.slow
 def test_trainer_rot6d_wire_loss_matches(data_dir, tmp_path):
     """A jitted train step fed the rot6d wire must produce the same loss and
     gradients as the rotmat wire (device-side reconstruction is exact)."""

@@ -167,6 +167,7 @@ def test_forward_loss_parity_extra_conv():
 
 
 @pytest.mark.parametrize("iters,extra_conv", [(0, 0), (10**6, 0), (0, 1)])
+@pytest.mark.slow
 def test_gradient_parity_vs_real_reference(iters, extra_conv):
     """Full-graph gradient agreement, both sides of the KL curriculum
     (shallow z detached before iteration_interval, live after —

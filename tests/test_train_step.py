@@ -84,6 +84,7 @@ def test_stored_adam_matches_optax_chain_f32():
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
 
 
+@pytest.mark.slow
 def test_bf16_moments_track_f32_training():
     """moment_dtype=bfloat16 (the HBM-traffic perf mode) must follow the f32
     loss trajectory on a short real training run."""
@@ -198,6 +199,7 @@ def test_bf16_params_accumulate_subulp_updates():
     assert p.dtype == jnp.bfloat16
 
 
+@pytest.mark.slow
 def test_bf16_params_track_f32_training():
     """param_dtype=bfloat16 (+bf16 moments — the max-perf storage mode) must
     follow the f32 loss trajectory on a short real training run."""

@@ -281,6 +281,7 @@ def test_async_save_error_surfaces_at_join(tmp_path, monkeypatch):
     trainer.wait_for_saves()
 
 
+@pytest.mark.slow
 def test_cadence_not_refired_by_superbatch_tail(tmp_path):
     """max_iter=10, K=4, snapshot_save_iter=8: the save fires when the K-step
     dispatch crosses 8, and the 2-step tail (8->10) must NOT re-fire it (the
@@ -296,6 +297,7 @@ def test_cadence_not_refired_by_superbatch_tail(tmp_path):
     assert trainer._checkpoint_names() == ["gen_00000008"]
 
 
+@pytest.mark.slow
 def test_fit_with_aa_wire_f16_loss_impact(tmp_path):
     """The f16 axis-angle wire (half the rot6d bytes) trains end to end, and
     its f16 quantisation (~1e-3 rad of target noise) moves the loss by no
@@ -375,6 +377,7 @@ def test_load_params_across_optimizer_formats(tmp_path):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
 
 
+@pytest.mark.slow
 def test_fit_survives_empty_validation_split(tmp_path):
     """A val dataset yielding zero batches must not crash the val cadence."""
     tmp = str(tmp_path)
