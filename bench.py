@@ -437,7 +437,7 @@ def main(batch_size: int = 8, steps_per_call: int = 32, calls: int = 30,
     # is ~0.5%, convergence-tested in tests/test_train_step.py).
     # Skipped on CPU fallback: each len-64 variant is a multi-minute 1-core
     # compile, and the fallback's only job is to emit a labelled line fast.
-    perf = single = compact = compact_perf = bf16p = None
+    perf = single = compact = bf16p = None
     compact_roofline = {}
     bf16p_roofline = {}
     if not cpu_fallback:
@@ -475,42 +475,26 @@ def main(batch_size: int = 8, steps_per_call: int = 32, calls: int = 30,
                 bpr["hbm_roofline_frac_floor"],
         }
 
-        # compact conv-weight layout (models/param_layout.py): mask-dead
-        # parameter rows cease to exist, cutting the Adam chain 52.5->41.4 MB
-        # and dropping the mask multiply — FUNCTION-EXACT vs the dense
-        # layout (outputs, live-entry gradients and Adam trajectories are
-        # identical; tests/test_param_layout.py), unlike the bf16-moment
-        # perf mode which trades ~0.5% update precision.
+        # compact conv-weight layout (models/param_layout.py): RETIRED as a
+        # training mode (BASELINE.md round-5 verdict: the run-gather
+        # expansion costs 549 µs/step vs the 129 µs mask-mul it replaces —
+        # even a perfect expander loses; kept as a checkpoint/interchange
+        # format).  One leg stays as the regression record of that verdict.
         cfg_c = dataclasses.replace(
             cfg, model=dataclasses.replace(cfg.model, param_layout="compact"))
         model_c = HMVAE(cfg_c.model)
         state_c = create_state(model_c, cfg_c, jax.random.PRNGKey(0))
         mstep_c = jax.jit(make_multi_step(model_c, cfg_c),
                           donate_argnums=(0,))
-        c_bytes, c_flops = _cost_per_step(
-            mstep_c, (state_c, batches, rng), steps_per_call, jax)
         c_floor = _floor_bytes_per_step(state_c)
         dtc, _ = _bench(mstep_c, state_c, batches, rng, calls, warmup, jax)
         compact = batch_size * steps_per_call * calls / dtc
-        cr = _roofline_fields(c_bytes, c_flops,
-                              dtc / (steps_per_call * calls), device_kind,
-                              floor_bytes=c_floor)
+        cr = _roofline_fields(None, None, dtc / (steps_per_call * calls),
+                              device_kind, floor_bytes=c_floor)
         compact_roofline = {
-            "compact_bytes_per_step": cr["bytes_per_step"],
-            "compact_achieved_gbps": cr["achieved_gbps"],
-            "compact_hbm_roofline_frac": cr["hbm_roofline_frac"],
             "compact_floor_bytes_per_step": cr["floor_bytes_per_step"],
             "compact_hbm_roofline_frac_floor": cr["hbm_roofline_frac_floor"],
         }
-
-        # both perf modes composed: compact layout + bf16 Adam moments
-        cfg_cp = dataclasses.replace(
-            cfg_c, optim=OptimConfig(moment_dtype="bfloat16"))
-        state_cp = create_state(model_c, cfg_cp, jax.random.PRNGKey(0))
-        mstep_cp = jax.jit(make_multi_step(model_c, cfg_cp),
-                           donate_argnums=(0,))
-        dtcp, _ = _bench(mstep_cp, state_cp, batches, rng, calls, warmup, jax)
-        compact_perf = batch_size * steps_per_call * calls / dtcp
 
         # classic one-step-per-dispatch path (host-latency bound)
         state1 = create_state(model, cfg, jax.random.PRNGKey(0))
@@ -546,17 +530,6 @@ def main(batch_size: int = 8, steps_per_call: int = 32, calls: int = 30,
                 bench_latent_opt(per_window_decoder=False), 1)
     except Exception:
         lo_shared_ms = None
-    lo_compact_ms = None
-    try:
-        # compact conv layout in the SOLVER: the per-window decoder
-        # fine-tune is decoder-weight+moment HBM bound, and 24% of the
-        # decoder's conv parameters are mask-dead
-        if not cpu_fallback:
-            lo_compact_ms = round(
-                bench_latent_opt(per_window_decoder=True,
-                                 param_layout="compact"), 1)
-    except Exception:
-        lo_compact_ms = None
     lo_bf16_ms = None
     try:
         # bf16 decoder CLONE + bf16 solver moments (opt_param_dtype /
@@ -588,8 +561,6 @@ def main(batch_size: int = 8, steps_per_call: int = 32, calls: int = 30,
         **bf16p_roofline,
         "compact_layout_seqs_per_sec":
             round(compact, 2) if compact else None,
-        "compact_layout_bf16_moments_seqs_per_sec":
-            round(compact_perf, 2) if compact_perf else None,
         **compact_roofline,
         "steps_per_dispatch": steps_per_call,
         "measured_reference_cpu_seqs_per_sec": REFERENCE_CPU_SEQS_PER_SEC,
@@ -602,7 +573,6 @@ def main(batch_size: int = 8, steps_per_call: int = 32, calls: int = 30,
             round(e2e_aug["median"], 2) if e2e_aug else None,
         "latent_opt_interp_10win_solve_ms": lo_ms,
         "latent_opt_interp_10win_shared_clone_ms": lo_shared_ms,
-        "latent_opt_interp_10win_compact_layout_ms": lo_compact_ms,
         "latent_opt_interp_10win_bf16_clone_ms": lo_bf16_ms,
         **roofline,
         **({"platform": "cpu_fallback_tpu_unavailable",
