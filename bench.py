@@ -437,7 +437,7 @@ def main(batch_size: int = 8, steps_per_call: int = 32, calls: int = 30,
     # is ~0.5%, convergence-tested in tests/test_train_step.py).
     # Skipped on CPU fallback: each len-64 variant is a multi-minute 1-core
     # compile, and the fallback's only job is to emit a labelled line fast.
-    perf = single = compact = bf16p = None
+    perf = single = compact = bf16p = bf16t = None
     compact_roofline = {}
     bf16p_roofline = {}
     if not cpu_fallback:
@@ -474,6 +474,26 @@ def main(batch_size: int = 8, steps_per_call: int = 32, calls: int = 30,
             "bf16_params_hbm_roofline_frac_floor":
                 bpr["hbm_roofline_frac_floor"],
         }
+
+        # the MAX-PERF TRIPLE: bf16 params + moments + bf16 conv COMPUTE.
+        # With f32 compute the bf16-stored weight is up-cast before the
+        # mask-mul, so the conv still reads an f32 materialized weight
+        # (chip r5: fwd_bwd 393 vs 401 µs — no gain there); bf16 compute
+        # keeps the whole weight stream at half width end to end.
+        # Convergence-tested (tests/test_train_step.py, the compute_dtype
+        # parametrization).
+        cfg_bt = dataclasses.replace(
+            cfg, model=dataclasses.replace(cfg.model,
+                                           compute_dtype="bfloat16"),
+            optim=OptimConfig(param_dtype="bfloat16",
+                              moment_dtype="bfloat16"))
+        model_bt = HMVAE(cfg_bt.model)
+        state_bt = create_state(model_bt, cfg_bt, jax.random.PRNGKey(0))
+        mstep_bt = jax.jit(make_multi_step(model_bt, cfg_bt),
+                           donate_argnums=(0,))
+        dtbt, _ = _bench(mstep_bt, state_bt, batches, rng, calls, warmup,
+                         jax)
+        bf16t = batch_size * steps_per_call * calls / dtbt
 
         # compact conv-weight layout (models/param_layout.py): RETIRED as a
         # training mode (BASELINE.md round-5 verdict: the run-gather
@@ -558,6 +578,8 @@ def main(batch_size: int = 8, steps_per_call: int = 32, calls: int = 30,
             round(perf, 2) if perf else None,
         "perf_mode_bf16_params_seqs_per_sec":
             round(bf16p, 2) if bf16p else None,
+        "perf_mode_bf16_triple_seqs_per_sec":
+            round(bf16t, 2) if bf16t else None,
         **bf16p_roofline,
         "compact_layout_seqs_per_sec":
             round(compact, 2) if compact else None,

@@ -200,14 +200,19 @@ def test_bf16_params_accumulate_subulp_updates():
 
 
 @pytest.mark.slow
-def test_bf16_params_track_f32_training():
-    """param_dtype=bfloat16 (+bf16 moments — the max-perf storage mode) must
-    follow the f32 loss trajectory on a short real training run."""
+@pytest.mark.parametrize("compute_dtype", ["float32", "bfloat16"])
+def test_bf16_params_track_f32_training(compute_dtype):
+    """param_dtype=bfloat16 (+bf16 moments) must follow the f32 loss
+    trajectory on a short real training run — and so must the MAX-PERF
+    triple with bf16 conv compute on top (bf16-stored weights feed the conv
+    directly, no f32 up-cast materialization)."""
     import dataclasses
 
-    def run(param_dtype):
+    def run(param_dtype, cd="float32"):
         cfg = dataclasses.replace(
-            TINY, optim=dataclasses.replace(
+            TINY,
+            model=dataclasses.replace(TINY.model, compute_dtype=cd),
+            optim=dataclasses.replace(
                 TINY.optim, lr=1e-3, param_dtype=param_dtype,
                 moment_dtype=("bfloat16" if param_dtype == "bfloat16"
                               else "float32")))
@@ -222,7 +227,7 @@ def test_bf16_params_track_f32_training():
         return np.asarray(losses), state
 
     f32, _ = run("float32")
-    bf16, st16 = run("bfloat16")
+    bf16, st16 = run("bfloat16", compute_dtype)
     assert all(l.dtype == jnp.bfloat16 for l in jax.tree.leaves(st16.params))
     assert bf16[-1] < f32[0] * 0.9
     assert abs(bf16[-10:].mean() - f32[-10:].mean()) < 0.15 * f32[-10:].mean()
