@@ -238,6 +238,15 @@ def make_latent_optimizer(model: HMVAE, cfg: Config,
             # starts at exactly zero like the f32 deepcopy
             train0 = jax.tree.map(
                 lambda x: x.astype(jnp.bfloat16), train0)
+        else:
+            # a bf16-STORED checkpoint (optim.param_dtype training mode)
+            # under an f32 solve: up-cast the clone once — otherwise
+            # apply_updates' round-to-nearest cast back to bf16 silently
+            # swallows sub-ulp fine-tune steps (the SR write-back only runs
+            # when opt_param_dtype selects it)
+            train0 = jax.tree.map(
+                lambda x: x.astype(jnp.float32)
+                if jnp.issubdtype(x.dtype, jnp.floating) else x, train0)
         frozen = {k: v for k, v in dec_all.items() if k not in train_keys}
 
         def wrap(dec_train):

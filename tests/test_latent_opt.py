@@ -609,3 +609,22 @@ def test_bf16_clone_rejects_unknown_dtype():
     lat = dataclasses.replace(CFG.latent_opt, opt_param_dtype="float64")
     with pytest.raises(ValueError):
         make_latent_optimizer(model, CFG, lat=lat)
+
+
+def test_bf16_stored_checkpoint_under_f32_solve():
+    """A bf16-STORED checkpoint (optim.param_dtype training mode) under the
+    default f32 solve must up-cast the clone once — otherwise apply_updates'
+    round-to-nearest cast silently swallows sub-ulp fine-tune steps."""
+    model, params = _model_and_params()
+    params16 = jax.tree.map(
+        lambda x: x.astype(jnp.bfloat16)
+        if jnp.issubdtype(x.dtype, jnp.floating) else x, params)
+    solve = make_latent_optimizer(model, CFG)
+    from hm_vae_tpu.apps.tasks import _targets_from_rotmat
+    mats = _rand_rotmat_seq(jax.random.PRNGKey(1), 8)[None]
+    t = _targets_from_rotmat(mats)
+    z = init_z(jax.random.PRNGKey(2), CFG, 1)
+    zr = jax.tree.map(jnp.zeros_like, z)
+    res = solve(params16, t, jnp.ones((1, 8, 24)), z, zr)
+    h = np.asarray(res.loss_history)
+    assert np.isfinite(h).all() and h[-1] < h[0] * 0.9, (h[0], h[-1])
