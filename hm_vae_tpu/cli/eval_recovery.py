@@ -46,6 +46,11 @@ def main(argv=None):
                    help="precomputed per-frame mask npys (overrides random)")
     p.add_argument("--gen_vis", action="store_true")
     p.add_argument("--input_gt", action="store_true")
+    # literal reference flags (eval_partial_motion_recovery.py:31-44);
+    # applied below as --max_seqs/--chunk/output-dir equivalents
+    p.add_argument("--vis_iters", type=int, default=None)
+    p.add_argument("--vis_bs", type=int, default=None)
+    p.add_argument("--out_tag", type=str, default="")
     p.add_argument("--batch_across_seqs", action="store_true",
                    help="long-seq interpolation only: flatten all sequences' "
                         "windows into one batched solve per chunk — several "
@@ -145,7 +150,18 @@ def main(argv=None):
         cfg = dataclasses.replace(
             cfg, latent_opt=dataclasses.replace(cfg.latent_opt, **lat_kw))
 
+    # literal reference aliases (eval_partial_motion_recovery.py:31-44):
+    # --vis_iters x --vis_bs bounds how many sequences are processed (our
+    # --max_seqs, which wins if given), --vis_bs also sets the solve chunk,
+    # --out_tag suffixes the output directory name
+    if args.max_seqs < 0 and args.vis_iters is not None:
+        args.max_seqs = args.vis_iters * (args.vis_bs or 32)
+    if args.vis_bs:
+        args.chunk = args.vis_bs
+
     model_name = os.path.splitext(os.path.basename(args.config))[0]
+    if args.out_tag:
+        model_name = f"{model_name}_{args.out_tag}"
     if args.final_try_long_seq_interpolation:
         task, out_name = "interpolation", "eval_long_seq_interpolation"
     elif args.final_motion_completion_long_seq:

@@ -25,8 +25,14 @@ def main(argv=None):
     p.add_argument("--trajectory_test_model", type=str, default="")
     p.add_argument("--output_path", type=str, default="./")
     p.add_argument("--data_root", type=str, default=None)
-    p.add_argument("--num_samples", type=int, default=16)
+    p.add_argument("--num_samples", type=int, default=None)
     p.add_argument("--gen_vis", action="store_true")
+    # literal reference flags (eval_trajectory_pred.py:44-61):
+    # --vis_iters x --vis_bs bounds the sampled sequences (--num_samples
+    # wins if given), --out_tag suffixes the output directory name
+    p.add_argument("--vis_iters", type=int, default=None)
+    p.add_argument("--vis_bs", type=int, default=None)
+    p.add_argument("--out_tag", type=str, default="")
 
     p.add_argument("--pred_trajectory_for_single_window", action="store_true")
     p.add_argument("--seq_generation_npy_path", type=str, default="")
@@ -58,8 +64,13 @@ def main(argv=None):
 
         cfg = dataclasses.replace(
             cfg, data=dataclasses.replace(cfg.data, data_root=args.data_root))
-    output_dir = os.path.join(args.output_path, "eval_trajectory",
-                              os.path.splitext(os.path.basename(args.config))[0])
+    if args.num_samples is None:
+        args.num_samples = (args.vis_iters * (args.vis_bs or 32)
+                            if args.vis_iters is not None else 16)
+    model_name = os.path.splitext(os.path.basename(args.config))[0]
+    if args.out_tag:
+        model_name = f"{model_name}_{args.out_tag}"
+    output_dir = os.path.join(args.output_path, "eval_trajectory", model_name)
     os.makedirs(output_dir, exist_ok=True)
 
     trainer, _, _, test_ds = build_trainer(cfg, output_dir)
