@@ -394,8 +394,21 @@ def main(batch_size: int = 8, steps_per_call: int = 32, calls: int = 30,
                                              make_train_step)
     from hm_vae_tpu.utils.config import Config, ModelConfig
 
+    import dataclasses
+
+    from hm_vae_tpu.utils.config import OptimConfig
+
     cfg = Config(model=ModelConfig(latent_d=24, shallow_latent_d=12,
                                    kernel_size=15, train_seq_len=64))
+    # headline mode == the len64_production.yaml default: bf16 parameter +
+    # moment STORAGE with stochastic-rounding write-back (train/optim.py).
+    # Production-flipped in round 5 after a 30k-step quality soak (val loss
+    # tracked f32 at every eval point — BASELINE.md "bf16 parameter
+    # storage").  The plain-f32 figure is still emitted below as
+    # perf_mode_f32_seqs_per_sec for apples-to-apples cross-round reads.
+    cfg_prod = dataclasses.replace(
+        cfg, optim=OptimConfig(param_dtype="bfloat16",
+                               moment_dtype="bfloat16"))
     model = HMVAE(cfg.model)
     rng = jax.random.PRNGKey(2)
 
@@ -412,8 +425,8 @@ def main(batch_size: int = 8, steps_per_call: int = 32, calls: int = 30,
     # figure can't be classified as regression vs noise from the JSON alone.
     headline_windows = 1 if cpu_fallback else 5
     win_calls = max(calls // headline_windows, 1)
-    state = create_state(model, cfg, jax.random.PRNGKey(0))
-    mstep = jax.jit(make_multi_step(model, cfg), donate_argnums=(0,))
+    state = create_state(model, cfg_prod, jax.random.PRNGKey(0))
+    mstep = jax.jit(make_multi_step(model, cfg_prod), donate_argnums=(0,))
     # cost analysis must be captured before the timed run donates `state`
     step_bytes, step_flops = _cost_per_step(
         mstep, (state, batches, rng), steps_per_call, jax)
@@ -432,47 +445,26 @@ def main(batch_size: int = 8, steps_per_call: int = 32, calls: int = 30,
                                 dt_med / (steps_per_call * win_calls),
                                 device_kind, floor_bytes=floor)
 
-    # perf mode: Adam moments stored bf16 (the bs-8 step is parameter-HBM-
-    # traffic bound — see BASELINE.md roofline decomposition; update precision
-    # is ~0.5%, convergence-tested in tests/test_train_step.py).
-    # Skipped on CPU fallback: each len-64 variant is a multi-minute 1-core
-    # compile, and the fallback's only job is to emit a labelled line fast.
-    perf = single = compact = bf16p = bf16t = None
+    # perf modes.  Skipped on CPU fallback: each len-64 variant is a
+    # multi-minute 1-core compile, and the fallback's only job is to emit a
+    # labelled line fast.
+    single = compact = f32_rate = bf16t = None
     compact_roofline = {}
-    bf16p_roofline = {}
+    f32_roofline = {}
     if not cpu_fallback:
-        import dataclasses
-
-        from hm_vae_tpu.utils.config import OptimConfig
-        cfg_perf = dataclasses.replace(
-            cfg, optim=OptimConfig(moment_dtype="bfloat16"))
-        state_p = create_state(model, cfg_perf, jax.random.PRNGKey(0))
-        mstep_p = jax.jit(make_multi_step(model, cfg_perf),
-                          donate_argnums=(0,))
-        dtp, _ = _bench(mstep_p, state_p, batches, rng, calls, warmup, jax)
-        perf = batch_size * steps_per_call * calls / dtp
-
-        # max-perf mode: bf16 param STORAGE (stochastic-rounding write-back,
-        # train/optim.py) + bf16 Adam moments — the f32 weight stream the
-        # r4 verdict flagged as the one unexplored headline lever.  The
-        # whole Adam chain and the fwd/bwd weight reads run at half width;
-        # convergence-tested in tests/test_train_step.py.
-        cfg_bp = dataclasses.replace(
-            cfg, optim=OptimConfig(param_dtype="bfloat16",
-                                   moment_dtype="bfloat16"))
-        state_bp = create_state(model, cfg_bp, jax.random.PRNGKey(0))
-        mstep_bp = jax.jit(make_multi_step(model, cfg_bp),
-                           donate_argnums=(0,))
-        bp_floor = _floor_bytes_per_step(state_bp)
-        dtbp, _ = _bench(mstep_bp, state_bp, batches, rng, calls, warmup,
-                         jax)
-        bf16p = batch_size * steps_per_call * calls / dtbp
-        bpr = _roofline_fields(None, None, dtbp / (steps_per_call * calls),
-                               device_kind, floor_bytes=bp_floor)
-        bf16p_roofline = {
-            "bf16_params_floor_bytes_per_step": bpr["floor_bytes_per_step"],
-            "bf16_params_hbm_roofline_frac_floor":
-                bpr["hbm_roofline_frac_floor"],
+        # plain-f32 storage (the pre-round-5 headline mode): the
+        # apples-to-apples anchor against BENCH_r02-r04 headlines and the
+        # reference's own f32 Adam semantics.
+        state_f = create_state(model, cfg, jax.random.PRNGKey(0))
+        mstep_f = jax.jit(make_multi_step(model, cfg), donate_argnums=(0,))
+        f_floor = _floor_bytes_per_step(state_f)
+        dtf, _ = _bench(mstep_f, state_f, batches, rng, calls, warmup, jax)
+        f32_rate = batch_size * steps_per_call * calls / dtf
+        fr = _roofline_fields(None, None, dtf / (steps_per_call * calls),
+                              device_kind, floor_bytes=f_floor)
+        f32_roofline = {
+            "f32_floor_bytes_per_step": fr["floor_bytes_per_step"],
+            "f32_hbm_roofline_frac_floor": fr["hbm_roofline_frac_floor"],
         }
 
         # the MAX-PERF TRIPLE: bf16 params + moments + bf16 conv COMPUTE.
@@ -572,15 +564,16 @@ def main(batch_size: int = 8, steps_per_call: int = 32, calls: int = 30,
         "value_band_max": round(fused_max, 2),
         "value_band_windows": len(rates),
         "vs_baseline": round(fused / BASELINE_SEQS_PER_SEC, 3),
+        "headline_mode": "bf16_params+moments (len64_production.yaml "
+                         "default since r5; 30k-step quality soak in "
+                         "BASELINE.md; f32 anchor below)",
         "single_dispatch_seqs_per_sec":
             round(single, 2) if single else None,
-        "perf_mode_bf16_moments_seqs_per_sec":
-            round(perf, 2) if perf else None,
-        "perf_mode_bf16_params_seqs_per_sec":
-            round(bf16p, 2) if bf16p else None,
+        "perf_mode_f32_seqs_per_sec":
+            round(f32_rate, 2) if f32_rate else None,
+        **f32_roofline,
         "perf_mode_bf16_triple_seqs_per_sec":
             round(bf16t, 2) if bf16t else None,
-        **bf16p_roofline,
         "compact_layout_seqs_per_sec":
             round(compact, 2) if compact else None,
         **compact_roofline,

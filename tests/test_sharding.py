@@ -40,6 +40,59 @@ def test_data_parallel_step_matches_single_device():
     np.testing.assert_allclose(np.asarray(pa), np.asarray(pb), atol=1e-5)
 
 
+def test_bf16_param_storage_step_matches_single_device():
+    """The round-5 PRODUCTION mode (optim.param_dtype=bfloat16, stochastic-
+    rounding write-back — train/optim.py) under the data-parallel mesh.
+    The SR bit source is a deterministic hash of (global element index,
+    leaf salt, step count), so GSPMD partitioning must not change WHICH
+    random bits an element sees; the only legal divergence vs the single-
+    device step is a last-ulp grad difference from cross-device reduction
+    order flipping an SR decision on isolated elements (bounded by one
+    bf16 ulp + the lr-scale Adam bound), never a systematic drift."""
+    import dataclasses
+
+    cfg = dataclasses.replace(
+        TINY, optim=OptimConfig(lr=1e-3, param_dtype="bfloat16",
+                                moment_dtype="bfloat16"))
+    model = HMVAE(cfg.model)
+    mesh = sh.make_mesh(8, model_parallel=1)
+    state, shardings = sh.create_sharded_state(
+        model, cfg, jax.random.PRNGKey(0), mesh)
+    step = sh.make_sharded_train_step(model, cfg, mesh, shardings)
+
+    from hm_vae_tpu.train.train_step import create_state, make_train_step
+    ref_state = create_state(model, cfg, jax.random.PRNGKey(0))
+    ref_step = jax.jit(make_train_step(model, cfg))
+
+    batch = synth_batch(jax.random.PRNGKey(1), 8, 8)
+    dbatch = sh.device_put_batch(jax.tree.map(np.asarray, batch), mesh)
+    rng = jax.random.PRNGKey(2)
+    for _ in range(3):  # a few steps so SR decisions accumulate
+        state, metrics = step(state, dbatch, rng)
+        ref_state, ref_metrics = ref_step(ref_state, batch, rng)
+    np.testing.assert_allclose(float(metrics["loss_total"]),
+                               float(ref_metrics["loss_total"]), rtol=1e-3)
+    n_diff = n_tot = 0
+    for a, b in zip(jax.tree.leaves(state.params),
+                    jax.tree.leaves(ref_state.params)):
+        assert a.dtype == jnp.bfloat16 and b.dtype == jnp.bfloat16
+        af = np.asarray(a, np.float32)
+        bf = np.asarray(b, np.float32)
+        d = np.abs(af - bf)
+        # one bf16 ulp at the element's own magnitude, plus the Adam
+        # lr-normalised bound for eps-boundary flips
+        ulp = np.maximum(np.abs(af), np.abs(bf)) * 2.0 ** -7
+        assert (d <= ulp + 2 * cfg.optim.lr).all(), d.max()
+        n_diff += int((d > 0).sum())
+        n_tot += d.size
+    # the FRACTION of flipped elements grows with step count (a 1-ulp param
+    # divergence feeds the next step's grads, recruiting more flips — ~3.4%
+    # after 3 steps here); what must NOT grow is the per-element magnitude,
+    # asserted above.  The fraction bound only catches a systematic break
+    # (e.g. partition-dependent hash bits), which would flip ~50%.
+    assert n_diff < 0.10 * n_tot, (n_diff, n_tot)
+
+
 def test_trajectory_model_trains_data_parallel(tmp_path):
     """The SECOND model family through the sharded Trainer on the virtual
     mesh: the trainer auto-picks a data mesh (gcd(devices, batch)) and the
