@@ -58,7 +58,8 @@ from ..utils.config import Config, LatentOptConfig
 
 def _scope_keys(dec_tree, scope: str):
     """Top-level decoder keys the fine-tune phase optimizes (the rest stay
-    frozen at the trained weights and SHARED across windows)."""
+    frozen at the trained weights and SHARED across windows).  The "lora"
+    scope partitions at leaf granularity and is handled separately."""
     if scope == "full":
         return list(dec_tree)
     if scope == "heads":
@@ -67,7 +68,45 @@ def _scope_keys(dec_tree, scope: str):
         convs = sorted((k for k in dec_tree if k.startswith("conv_")),
                        key=lambda k: int(k.split("_")[-1]))
         return convs[-1:]
-    raise ValueError(f"unknown latent_opt.finetune_scope: {scope!r}")
+    raise ValueError(f"unknown latent_opt.finetune_scope: {scope!r} "
+                     "(expected full|lora|last_conv|heads)")
+
+
+def _lora_reg(dec_train, orig_train):
+    """The decoder pull-back term in WEIGHT space under the lora scope.
+
+    For a factor pair the weight-space distance from the trained decoder is
+    ``mean(delta^2)`` with ``delta = A @ B`` (``A0 == 0`` so the initial
+    delta is exactly zero, like the reference's fresh deepcopy) — computed
+    WITHOUT materializing the (out_f, in_f*K) delta via the Gram identity
+    ``||AB||_F^2 = sum((A^T A) * (B B^T))`` (two r x r matrices).  Direct
+    leaves (conv biases, latent heads) keep the reference's per-tensor
+    ``mean((w - w0)^2)`` (seq_two_hier_sa_vae.py:1714-1717).
+    """
+    from flax import traverse_util
+
+    flat_t = traverse_util.flatten_dict(dec_train)
+    flat_o = traverse_util.flatten_dict(orig_train)
+    total = jnp.zeros(())
+    paired = set()
+    for p, a in flat_t.items():
+        if p[-1] != "lora_a":
+            continue
+        pb = p[:-1] + ("lora_b",)
+        A = a.astype(jnp.float32)
+        B2 = flat_t[pb].astype(jnp.float32).reshape(A.shape[1], -1)
+        ga = A.T @ A
+        gb = B2 @ B2.T
+        total = total + jnp.sum(ga * gb) / (A.shape[0] * B2.shape[1])
+        paired.add(p)
+        paired.add(pb)
+    for p, v in flat_t.items():
+        if p in paired:
+            continue
+        o = flat_o[p]
+        total = total + jnp.mean(
+            (v.astype(jnp.float32) - o.astype(jnp.float32)) ** 2)
+    return total
 
 
 def _tree_where(cond, a, b):
@@ -135,6 +174,20 @@ def make_latent_optimizer(model: HMVAE, cfg: Config,
     lcfg = cfg.loss
     offsets = fk_mod.default_offsets()
 
+    lora_mode = lat.finetune_scope == "lora"
+    if lora_mode:
+        import dataclasses as _dc
+
+        # rebuild the module with rank-r adapters on the decoder convs
+        # (models/hm_vae.py SkeletonConv.lora_rank); the checkpoint params
+        # lack the adapter leaves — solve() initializes them (lora_a == 0,
+        # so iteration 0 decodes EXACTLY like the base model)
+        if lat.lora_rank <= 0:
+            raise ValueError("latent_opt.finetune_scope='lora' needs "
+                             f"lora_rank > 0, got {lat.lora_rank}")
+        model = HMVAE(_dc.replace(model.cfg, lora_rank=lat.lora_rank),
+                      model.init_type)
+
     use_traj = trajectory is not None and lat.optimize_trajectory
     if use_traj:
         traj_model, traj_params, traj_ms = trajectory
@@ -166,6 +219,10 @@ def make_latent_optimizer(model: HMVAE, cfg: Config,
     if not clone_bf16 and jnp.dtype(lat.opt_param_dtype) != jnp.float32:
         raise ValueError(
             f"unsupported latent_opt.opt_param_dtype: {lat.opt_param_dtype!r}")
+    if lora_mode:
+        # the per-window trainable state is KBs (factors + biases + heads);
+        # bf16 storage would save nothing and cost precision — keep f32
+        clone_bf16 = False
     z_tx = optax.chain(
         optax.add_decayed_weights(cfg.optim.weight_decay),
         scale_by_adam_stored(moment_dtype=lat.opt_moment_dtype),
@@ -208,7 +265,11 @@ def make_latent_optimizer(model: HMVAE, cfg: Config,
             # decoder pull-back: per-tensor mean L2 summed over tensors
             # (seq_two_hier_sa_vae.py:1714-1717); only the trainable subtree
             # contributes — frozen tensors never move, their term is zero
-            if lat.optimize_decoder:
+            if lat.optimize_decoder and lora_mode:
+                # weight-space distance incl. the factor pairs' delta
+                # (Gram identity — no dense delta materialization)
+                l_reg_dec = _lora_reg(dec_train, orig_train)
+            elif lat.optimize_decoder:
                 diffs = jax.tree.map(
                     lambda a, b: jnp.mean(
                         (a.astype(jnp.float32) - b.astype(jnp.float32)) ** 2),
@@ -230,8 +291,40 @@ def make_latent_optimizer(model: HMVAE, cfg: Config,
         # it only the `finetune_scope` subtree is trainable; the frozen rest
         # stays a closure constant shared by every window
         dec_all = params["params"]["decoder"]
-        train_keys = _scope_keys(dec_all, lat.finetune_scope)
-        train0 = {k: dec_all[k] for k in train_keys}
+        if lora_mode:
+            from flax import traverse_util
+
+            # fresh adapter leaves (lora_a zero, lora_b scaled-uniform with a
+            # fixed seed — deterministic like the reference's deepcopy); the
+            # base weights in `params` are NOT re-initialized, only merged
+            z1 = jax.tree.map(lambda x: x[:1], z_init)
+            lora_vars = model.init(jax.random.PRNGKey(0), z1,
+                                   method=HMVAE.decode)
+            flat_lora = {
+                p: v for p, v in traverse_util.flatten_dict(
+                    lora_vars["params"]["decoder"]).items()
+                if p[-1].startswith("lora_")
+            }
+            flat_base = traverse_util.flatten_dict(dec_all)
+            # trainable: adapters + conv biases + latent re-inflation heads
+            # (all per-window-small); frozen: the dense conv weights — shared
+            # across windows, read once per iteration for the whole batch
+            train_flat = dict(flat_lora)
+            for p, v in flat_base.items():
+                if p[0].startswith("latent_dec") or p[-1] == "bias":
+                    train_flat[p] = v
+            frozen_flat = {p: v for p, v in flat_base.items()
+                           if p not in train_flat}
+            train0 = traverse_util.unflatten_dict(train_flat)
+
+            def wrap(dec_train):
+                merged = dict(frozen_flat)
+                merged.update(traverse_util.flatten_dict(dec_train))
+                return {"params": {
+                    "decoder": traverse_util.unflatten_dict(merged)}}
+        else:
+            train_keys = _scope_keys(dec_all, lat.finetune_scope)
+            train0 = {k: dec_all[k] for k in train_keys}
         if clone_bf16:
             # the CLONE is stored bf16 (frozen remainder and z stay f32);
             # the pull-back target is the cast clone itself, so l_reg_dec
@@ -247,10 +340,11 @@ def make_latent_optimizer(model: HMVAE, cfg: Config,
             train0 = jax.tree.map(
                 lambda x: x.astype(jnp.float32)
                 if jnp.issubdtype(x.dtype, jnp.floating) else x, train0)
-        frozen = {k: v for k, v in dec_all.items() if k not in train_keys}
+        if not lora_mode:
+            frozen = {k: v for k, v in dec_all.items() if k not in train_keys}
 
-        def wrap(dec_train):
-            return {"params": {"decoder": dict(frozen, **dec_train)}}
+            def wrap(dec_train):
+                return {"params": {"decoder": dict(frozen, **dec_train)}}
 
         total_loss = make_total_loss(wrap, train0)
         z0 = z_init

@@ -144,6 +144,14 @@ class SkeletonConv(nn.Module):
     # mask multiply) — function-exact, ~21% less param HBM traffic on the
     # len-64 flagship (models/param_layout.py)
     param_layout: str = "dense"
+    # rank-r low-rank adapter IN FOLDED WEIGHT SPACE (test-time decoder
+    # fine-tuning, apps/latent_opt.py): declares lora_a (out_f, r) zero-init
+    # and lora_b (r, in_f, K), and adds the delta's contribution as a SPLIT
+    # conv — out += A @ conv(x, B) — so the dense folded weight is never
+    # re-materialized per adapter state.  lora_a == 0 makes the module
+    # function-identical to the base conv.  0 (all training paths): no extra
+    # params, byte-identical behaviour.
+    lora_rank: int = 0
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -189,8 +197,34 @@ class SkeletonConv(nn.Module):
             P = jnp.asarray(self.pool_matrix, wm.dtype)
             wm = jnp.einsum("qo,ock->qck", P, wm)
             b = P @ b if b is not None else None
-        return snn.skeleton_conv_w(x, wm, b, s.stride, s.padding,
-                                   s.padding_mode)
+        out = snn.skeleton_conv_w(x, wm, b, s.stride, s.padding,
+                                  s.padding_mode)
+        if self.lora_rank > 0:
+            # delta in FOLDED space: the effective weight is wm + A@B (A
+            # zero-init -> exact base function at start).  Linearity of conv
+            # in the weight lets the delta ride a separate r-channel conv:
+            # conv(x, wm + AB) == conv(x, wm) + A @ conv(x, B) — the dense
+            # (out_f, in_f, K) weight is read once per iteration for ALL
+            # adapter states, while the per-state work is O(r).
+            out_f, in_f = wm.shape[0], wm.shape[1]
+            la = self.param("lora_a", nn.initializers.zeros,
+                            (out_f, self.lora_rank))
+            # B side: uniform(+-1/sqrt(in_f*K)) — the folded fan-in, so the
+            # r-channel conv's outputs start at the base conv's activation
+            # scale (lora_a==0 keeps the function exact regardless; this only
+            # conditions the first A gradients)
+            lb_bound = 1.0 / math.sqrt(in_f * s.kernel_size)
+
+            def _lb_init(key, shape, dtype=jnp.float32):
+                return jax.random.uniform(key, shape, dtype,
+                                          -lb_bound, lb_bound)
+
+            lb = self.param("lora_b", _lb_init,
+                            (self.lora_rank, in_f, s.kernel_size))
+            lo = snn.skeleton_conv_w(x, lb.astype(cd), None, s.stride,
+                                     s.padding, s.padding_mode)
+            out = out + jnp.einsum("or,brt->bot", la.astype(cd), lo)
+        return out
 
 
 class Encoder(nn.Module):
@@ -283,15 +317,18 @@ class Decoder(nn.Module):
                 for e, espec in enumerate(lvl.extra_convs):
                     x = SkeletonConv(espec, self.cfg.compute_dtype,
                                      param_layout=self.cfg.param_layout,
+                                     lora_rank=self.cfg.lora_rank,
                                      name=f"conv_{i}_extra_{e}")(x)
                 x = SkeletonConv(lvl.conv, self.cfg.compute_dtype,
                                  param_layout=self.cfg.param_layout,
+                                 lora_rank=self.cfg.lora_rank,
                                  name=f"conv_{i}")(x)
             else:
                 # SkeletonUnpool folded into the conv weight
                 x = SkeletonConv(lvl.conv, self.cfg.compute_dtype,
                                  unpool_matrix=lvl.unpool_matrix,
                                  param_layout=self.cfg.param_layout,
+                                 lora_rank=self.cfg.lora_rank,
                                  name=f"conv_{i}")(x)
             if lvl.leaky:
                 x = snn.leaky_relu(x, 0.2)

@@ -48,6 +48,13 @@ class ModelConfig:
     # written under either layout load into either (trainer.load_params
     # converts); torch import/export always speaks dense.
     param_layout: str = "dense"
+    # low-rank test-time adapter on the DECODER convs (latent_opt.finetune_
+    # scope="lora"): rank of the per-conv (A, B) factor pair whose delta is
+    # added IN FOLDED WEIGHT SPACE via a split conv — out = conv(x, w_folded)
+    # + A @ conv(x, B).  0 (default, incl. all training) declares no extra
+    # params; the latent-opt engine sets it internally when the solve asks
+    # for the lora scope.  See apps/latent_opt.py.
+    lora_rank: int = 0
     # trajectory model only
     # "float32" | "bfloat16" conv compute (f32 master params either way)
     compute_dtype: str = "float32"
@@ -156,6 +163,14 @@ class LatentOptConfig:
     opt_param_dtype: str = "float32"
     # which decoder subtree the fine-tune phase clones/optimizes:
     #   "full"      — every decoder tensor (the reference's deepcopy; default)
+    #   "lora"      — rank-`lora_rank` (A, B) adapters on every decoder conv
+    #                 (delta applied in folded weight space via a split conv)
+    #                 plus direct per-window clones of the conv biases and the
+    #                 latent re-inflation heads.  Per-window state drops from
+    #                 ~27 MB to ~1-3 MB, and — decisively — the DENSE decoder
+    #                 weights stay a closure constant shared by every window,
+    #                 so the dominant weight read amortizes over the whole
+    #                 batch instead of replicating per window.
     #   "last_conv" — only the final skeleton-conv block (~5 of 27.6 MB on the
     #                 len-64 model): the per-window weight+moment HBM traffic
     #                 that bounds the per-window-clone solve drops ~5x
@@ -164,6 +179,8 @@ class LatentOptConfig:
     # windows (no per-window replication, no Adam state, no weight grads).
     # Quality/cost A/B on the eval split: BASELINE.md "fine-tune scope".
     finetune_scope: str = "full"
+    # rank of the lora adapters when finetune_scope="lora"
+    lora_rank: int = 16
     replace_frame_with_gt: bool = True
     replace_part_with_gt: bool = True
     missing_upper_completion: bool = False

@@ -510,6 +510,91 @@ def test_finetune_scope_rejects_unknown():
         solve(params, targets, mask, z, jax.tree.map(jnp.zeros_like, z))
 
 
+def test_lora_module_zero_adapter_is_exact():
+    """SkeletonConv.lora_rank with lora_a == 0 (the solve's fresh-adapter
+    init) is function-IDENTICAL to the base conv: conv(x, w) + A @ conv(x, B)
+    with A = 0 adds exact zeros (models/hm_vae.py)."""
+    import dataclasses
+
+    from flax import traverse_util
+
+    model, params = _model_and_params()
+    model_l = HMVAE(dataclasses.replace(CFG.model, lora_rank=3))
+    params_l = model_l.init(jax.random.PRNGKey(9), jnp.zeros((1, 8, 24, 6)))
+    # transplant the BASE weights (keep model_l's fresh lora leaves)
+    flat = traverse_util.flatten_dict(params_l["params"])
+    for pth, v in traverse_util.flatten_dict(params["params"]).items():
+        flat[pth] = v
+    merged = {"params": traverse_util.unflatten_dict(flat)}
+    z = init_z(jax.random.PRNGKey(10), CFG, 2)
+    base = model.apply(params, z, method=HMVAE.decode)
+    lora = model_l.apply(merged, z, method=HMVAE.decode)
+    np.testing.assert_allclose(np.asarray(base), np.asarray(lora),
+                               rtol=0, atol=0)
+
+
+def test_lora_reg_gram_identity():
+    """_lora_reg's Gram-identity term equals the materialized
+    mean((A @ B)^2), and direct leaves keep the per-tensor mean((w-w0)^2)."""
+    from hm_vae_tpu.apps.latent_opt import _lora_reg
+
+    k = jax.random.PRNGKey(0)
+    ka, kb, kc, kd = jax.random.split(k, 4)
+    A = jax.random.normal(ka, (7, 3))
+    B = jax.random.normal(kb, (3, 5, 2))
+    bias = jax.random.normal(kc, (7,))
+    bias0 = jax.random.normal(kd, (7,))
+    tree = {"conv_0": {"lora_a": A, "lora_b": B, "bias": bias}}
+    tree0 = {"conv_0": {"lora_a": jnp.zeros_like(A),
+                        "lora_b": B, "bias": bias0}}
+    got = float(_lora_reg(tree, tree0))
+    delta = A @ B.reshape(3, -1)
+    want = float(jnp.mean(delta ** 2) + jnp.mean((bias - bias0) ** 2))
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+
+
+@pytest.mark.parametrize("per_win", [True, False])
+def test_lora_scope_z_phase_matches_full_and_optimizes(per_win):
+    """finetune_scope='lora': the z phase is numerically the full-scope z
+    phase (adapters start at exact zero delta, like a fresh deepcopy), and
+    the rank-r decoder phase still reduces the loss below the z phase's end
+    — with KBs of per-window state instead of the full decoder clone."""
+    import dataclasses
+
+    cfg = dataclasses.replace(CFG, latent_opt=dataclasses.replace(
+        CFG.latent_opt, finetune_scope="lora", lora_rank=4,
+        per_window_decoder=per_win))
+    cfg_full = dataclasses.replace(CFG, latent_opt=dataclasses.replace(
+        CFG.latent_opt, finetune_scope="full", per_window_decoder=per_win))
+    model, params = _model_and_params()
+    mats = _rand_rotmat_seq(jax.random.PRNGKey(11), 8)[None]
+    from hm_vae_tpu.apps.tasks import _targets_from_rotmat
+    targets = _targets_from_rotmat(mats)
+    tgt2 = jax.tree.map(lambda x: jnp.concatenate([x, x]), targets)
+    mask = jnp.ones((2, 8, 24))
+    z = init_z(jax.random.PRNGKey(12), cfg, 2)
+    zr = jax.tree.map(jnp.zeros_like, z)
+    res = make_latent_optimizer(model, cfg)(params, tgt2, mask, z, zr)
+    res_f = make_latent_optimizer(model, cfg_full)(params, tgt2, mask, z, zr)
+    hist = np.asarray(res.loss_history)
+    hist_f = np.asarray(res_f.loss_history)
+    assert np.isfinite(hist).all()
+    n_z = cfg.latent_opt.prev_epochs + 1
+    np.testing.assert_allclose(hist[:n_z], hist_f[:n_z], rtol=1e-5)
+    assert hist[-1] < hist[n_z - 1], (hist[n_z - 1], hist[-1])
+    assert hist[-1] < hist[0] * 0.9
+
+
+def test_lora_rejects_zero_rank():
+    import dataclasses
+
+    cfg = dataclasses.replace(CFG, latent_opt=dataclasses.replace(
+        CFG.latent_opt, finetune_scope="lora", lora_rank=0))
+    model, _ = _model_and_params()
+    with pytest.raises(ValueError, match="lora_rank"):
+        make_latent_optimizer(model, cfg)
+
+
 @pytest.mark.slow
 def test_mesh_sharded_solve_matches_unsharded():
     """LatentOptApps(mesh=...): the window batch shards over the data axis
