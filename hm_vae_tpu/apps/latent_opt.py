@@ -233,6 +233,20 @@ def make_latent_optimizer(model: HMVAE, cfg: Config,
         scale_by_adam_stored(moment_dtype=lat.opt_moment_dtype),
         optax.scale_by_learning_rate(_steplr(lat.opt_lr * 1e-3, lat)),
     ]
+    if lora_mode and lat.lora_lr_mult != 1.0:
+        # factor leaves only: an Adam step moves each element ~lr, so the
+        # rank-r PRODUCT delta moves ~|A||B| per step — far less weight-space
+        # motion than the reference's direct fine-tune at the same lr; the
+        # multiplier restores it (direct leaves keep the reference LR)
+        def _lora_leaf_mask(params):
+            from flax import traverse_util
+
+            flat = traverse_util.flatten_dict(params)
+            return traverse_util.unflatten_dict(
+                {p: p[-1].startswith("lora_") for p in flat})
+
+        dec_parts.append(optax.masked(
+            optax.scale(lat.lora_lr_mult), _lora_leaf_mask))
     if clone_bf16:
         dec_parts.append(stochastic_round_updates("bfloat16"))
     dec_tx = optax.chain(*dec_parts)

@@ -70,13 +70,22 @@ def main(argv=None):
                         "(seq_two_hier_sa_vae.py:1343-1345)")
 
     p.add_argument("--finetune_scope", default=None,
-                   choices=["full", "last_conv", "heads"],
+                   choices=["full", "lora", "last_conv", "heads"],
                    help="decoder subtree the fine-tune phase optimizes "
                         "(latent_opt.finetune_scope).  'full' = the "
                         "reference's whole-decoder deepcopy (default); "
+                        "'lora' = rank-r split-conv adapters — KBs of "
+                        "per-window state, dense weights shared across "
+                        "windows (apps/latent_opt.py); "
                         "'last_conv'/'heads' freeze the rest — 5x/200x less "
                         "per-window clone HBM traffic (BASELINE.md "
                         "'fine-tune scope')")
+    p.add_argument("--lora_rank", type=int, default=None,
+                   help="adapter rank for --finetune_scope lora "
+                        "(latent_opt.lora_rank, default 16)")
+    p.add_argument("--lora_lr_mult", type=float, default=None,
+                   help="LR multiplier on the lora factor leaves "
+                        "(latent_opt.lora_lr_mult, default 10)")
     p.add_argument("--opt_param_dtype", default=None,
                    choices=["float32", "bfloat16"],
                    help="storage dtype of the per-window decoder clone in "
@@ -133,12 +142,19 @@ def main(argv=None):
         cfg = dataclasses.replace(
             cfg, latent_opt=dataclasses.replace(
                 cfg.latent_opt, per_window_decoder=False))
-    if args.finetune_scope:
+    if (args.finetune_scope or args.lora_rank is not None
+            or args.lora_lr_mult is not None):
         import dataclasses
 
+        lat_kw = {}
+        if args.finetune_scope:
+            lat_kw["finetune_scope"] = args.finetune_scope
+        if args.lora_rank is not None:
+            lat_kw["lora_rank"] = args.lora_rank
+        if args.lora_lr_mult is not None:
+            lat_kw["lora_lr_mult"] = args.lora_lr_mult
         cfg = dataclasses.replace(
-            cfg, latent_opt=dataclasses.replace(
-                cfg.latent_opt, finetune_scope=args.finetune_scope))
+            cfg, latent_opt=dataclasses.replace(cfg.latent_opt, **lat_kw))
     if args.opt_param_dtype or args.opt_moment_dtype:
         import dataclasses
 

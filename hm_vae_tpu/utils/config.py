@@ -181,6 +181,13 @@ class LatentOptConfig:
     finetune_scope: str = "full"
     # rank of the lora adapters when finetune_scope="lora"
     lora_rank: int = 16
+    # LR multiplier on the factor leaves (lora_a/lora_b) only — direct
+    # leaves (biases, heads) keep the reference's fine-tune LR.  Adam moves
+    # each element ~lr per step, so a rank-r PRODUCT delta moves ~|A||B|
+    # (~25x less than a direct clone over the reference's 100 fine-tune
+    # steps at opt_lr*1e-3); the multiplier restores the fine-tune phase's
+    # effective step size in weight space.  Quality sweep: BASELINE.md.
+    lora_lr_mult: float = 10.0
     replace_frame_with_gt: bool = True
     replace_part_with_gt: bool = True
     missing_upper_completion: bool = False
@@ -292,8 +299,8 @@ class Config:
     run: RunConfig = RunConfig()
 
 
-def _fill(cls, flat: Dict[str, Any]):
-    names = {f.name for f in dataclasses.fields(cls)}
+def _fill(cls, flat: Dict[str, Any], exclude=()):
+    names = {f.name for f in dataclasses.fields(cls)} - set(exclude)
     kwargs = {}
     for k, v in flat.items():
         if k in names:
@@ -305,6 +312,12 @@ def _fill(cls, flat: Dict[str, Any]):
 
 # renamed keys accepted (with a log line) from older nested configs
 _SECTION_ALIASES = {"latent_opt": {"moment_dtype": "opt_moment_dtype"}}
+# field names a FLAT yaml key must NOT populate in a given section (the key
+# belongs to another section that shares the name): a flat `lora_rank:` is a
+# solver knob (latent_opt) — routing it into ModelConfig would silently add
+# adapter params to the TRAINING model (ModelConfig.lora_rank is set only by
+# the latent-opt engine; nested yaml can still set it explicitly)
+_FLAT_EXCLUDES = {"model": ("lora_rank",)}
 
 
 def from_flat_dict(flat: Dict[str, Any]) -> Config:
@@ -319,7 +332,7 @@ def from_flat_dict(flat: Dict[str, Any]) -> Config:
         ("data", DataConfig),
         ("run", RunConfig),
     ):
-        sections[name] = _fill(cls, flat)
+        sections[name] = _fill(cls, flat, _FLAT_EXCLUDES.get(name, ()))
         known |= {f.name for f in dataclasses.fields(cls)}
     unknown = sorted(set(flat) - known)
     if unknown:
@@ -354,6 +367,10 @@ def load_config(path: str) -> Config:
                 log.info("ignoring unknown %s config keys: %s", name, unknown)
             merged = dict(flat_extra)
             merged.update(sect)
-            nested[name] = _fill(cls, merged)
+            # flat-key exclusions apply only to the flat extras — an explicit
+            # nested `model: {lora_rank: ...}` still works
+            excl = tuple(k for k in _FLAT_EXCLUDES.get(name, ())
+                         if k not in sect)
+            nested[name] = _fill(cls, merged, excl)
         return Config(**nested)
     return from_flat_dict(raw)

@@ -35,8 +35,14 @@ echo "== 4. completion (record) =="
 timeout 3000 python -m hm_vae_tpu.cli.eval_recovery $COMMON \
   --final_motion_completion_long_seq \
   --output_path "$OUT/completion_f32" 2>&1 | tail -3
+echo "== 5. interpolation, lora scope (rank 16, split-conv adapters) =="
+timeout 3000 python -m hm_vae_tpu.cli.eval_recovery $COMMON \
+  --final_try_long_seq_interpolation --batch_across_seqs \
+  --finetune_scope lora \
+  --output_path "$OUT/interp_lora" 2>&1 | tail -3
 
 echo "== summaries =="
-for d in interp_f32 interp_bf16 interp_lastconv_bf16 completion_f32; do
+for d in interp_f32 interp_bf16 interp_lastconv_bf16 completion_f32 \
+         interp_lora; do
   echo "-- $d"; find "$OUT/$d" -name summary.json -exec cat {} \;
 done

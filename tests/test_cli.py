@@ -418,3 +418,24 @@ def test_eval_recovery_cli_data_parallel_matches_single(tmp_path):
     for k in s1:
         np.testing.assert_allclose(s2[k], s1[k], rtol=1e-3, atol=1e-6,
                                    err_msg=k)
+
+
+def test_flat_lora_rank_routes_to_latent_opt_only(tmp_path):
+    """A flat `lora_rank:` is a solver knob: it must set
+    latent_opt.lora_rank and must NOT leak into ModelConfig (which would add
+    adapter params to the TRAINING model); nested model.lora_rank is still
+    settable explicitly (utils/config.py _FLAT_EXCLUDES)."""
+    from hm_vae_tpu.utils.config import load_config
+
+    f = tmp_path / "flat.yaml"
+    f.write_text("lora_rank: 8\nfinetune_scope: lora\n")
+    cfg = load_config(str(f))
+    assert cfg.latent_opt.lora_rank == 8
+    assert cfg.latent_opt.finetune_scope == "lora"
+    assert cfg.model.lora_rank == 0
+
+    g = tmp_path / "nested.yaml"
+    g.write_text("model:\n  lora_rank: 3\nlatent_opt:\n  lora_rank: 8\n")
+    cfg = load_config(str(g))
+    assert cfg.model.lora_rank == 3
+    assert cfg.latent_opt.lora_rank == 8

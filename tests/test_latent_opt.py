@@ -596,6 +596,33 @@ def test_lora_rejects_zero_rank():
 
 
 @pytest.mark.slow
+def test_mesh_sharded_lora_solve_matches_unsharded():
+    """The GSPMD data-parallel eval path under finetune_scope='lora': the
+    per-window adapter states shard over the data axis like any other
+    per-window leaf, and the sharded solve reproduces the single-device
+    result within the iterative chaos floor (see the full-scope test below
+    for the tolerance calibration)."""
+    import dataclasses
+
+    from hm_vae_tpu.parallel import sharding as sh
+
+    cfg = dataclasses.replace(CFG, latent_opt=dataclasses.replace(
+        CFG.latent_opt, opt_it=4, prev_epochs=1, opt_step_size=1,
+        finetune_scope="lora", lora_rank=4))
+    model, params = _model_and_params()
+    ref = LatentOptApps(model, params, cfg)
+    mesh = sh.make_mesh(8, model_parallel=1)
+    dp = LatentOptApps(model, params, cfg, mesh=mesh)
+    seq = _rand_rotmat_seq(jax.random.PRNGKey(3), 26)  # 3 windows of 8
+    out_ref = ref.interpolate(seq, jax.random.PRNGKey(4))
+    out_dp = dp.interpolate(seq, jax.random.PRNGKey(4))
+    for k in ("rot_6d", "rot_mat", "pose"):
+        np.testing.assert_allclose(np.asarray(out_dp[k]),
+                                   np.asarray(out_ref[k]),
+                                   rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.slow
 def test_mesh_sharded_solve_matches_unsharded():
     """LatentOptApps(mesh=...): the window batch shards over the data axis
     under GSPMD and reproduces the single-device result (windows are
