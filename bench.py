@@ -555,6 +555,18 @@ def main(batch_size: int = 8, steps_per_call: int = 32, calls: int = 30,
                                  opt_moment_dtype="bfloat16"), 1)
     except Exception:
         lo_bf16_ms = None
+    lo_lora_ms = None
+    try:
+        # rank-16 split-conv adapters (finetune_scope=lora): KBs of
+        # per-window state, dense weights shared across windows — ms/window
+        # FALLS with window count (BASELINE.md "rank-r split-conv adapters";
+        # quality A/B in the same table)
+        if not cpu_fallback:
+            lo_lora_ms = round(
+                bench_latent_opt(per_window_decoder=True,
+                                 finetune_scope="lora"), 1)
+    except Exception:
+        lo_lora_ms = None
 
     print(json.dumps({
         "metric": "len64_hmvae_train_throughput_bs8",
@@ -589,6 +601,7 @@ def main(batch_size: int = 8, steps_per_call: int = 32, calls: int = 30,
         "latent_opt_interp_10win_solve_ms": lo_ms,
         "latent_opt_interp_10win_shared_clone_ms": lo_shared_ms,
         "latent_opt_interp_10win_bf16_clone_ms": lo_bf16_ms,
+        "latent_opt_interp_10win_lora_ms": lo_lora_ms,
         **roofline,
         **({"platform": "cpu_fallback_tpu_unavailable",
             "note": "axon relay outage at bench time (probe retried with "
