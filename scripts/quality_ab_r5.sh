@@ -17,8 +17,12 @@ COMMON="--config configs/len64_production.yaml --test_model $CKPT \
   --data_root data/eval141 --chunk 32"
 
 echo "== 1. interpolation, f32 per-window (record protocol) =="
+# NOTE: len64_production.yaml now defaults opt_param/moment_dtype to
+# bfloat16 (the round-5 production flip) — pin f32 explicitly so this leg
+# stays the f32 control rather than silently duplicating leg 2.
 timeout 3000 python -m hm_vae_tpu.cli.eval_recovery $COMMON \
   --final_try_long_seq_interpolation --batch_across_seqs \
+  --opt_param_dtype float32 --opt_moment_dtype float32 \
   --output_path "$OUT/interp_f32" 2>&1 | tail -3
 echo "== 2. interpolation, bf16 clone + moments =="
 timeout 3000 python -m hm_vae_tpu.cli.eval_recovery $COMMON \
